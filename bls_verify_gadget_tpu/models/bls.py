@@ -1,0 +1,186 @@
+"""Batched BLS scheme on device (ETH2 min-pubkey-size: pk in G1, sig in G2).
+
+This is the flagship "model": jittable batch-first keygen / sign / verify /
+aggregate built on the ops/ kernel stack.  The host-side wire codecs live in
+golden/bls.py (deserialization is an I/O-boundary concern, as in the
+reference's Rust crate); this module consumes decoded affine points.
+
+Semantics mirror the reference exactly:
+  * verify = identity-pk rejection + on-curve/subgroup checks for pk and sig
+    + e(-g1, sig) * e(pk, H(m)) == 1   (reference src/bls.rs:427-458)
+  * sign = H(m) * sk with zero-sk rejection (src/bls.rs:411-425)
+  * aggregation = projective sums (src/bls.rs:183-196, :288-301)
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..ops.fp import FP, FR
+from ..ops import tower as T
+from ..ops import curve as CV
+from ..ops import pairing as PR
+from ..ops.hash_to_g2 import hash_to_g2
+
+
+@dataclasses.dataclass
+class Params:
+    """Scheme parameters (reference Parameters, src/bls.rs:25-50): the G1
+    generator, as device affine coordinates."""
+
+    g1_x: Any = None
+    g1_y: Any = None
+
+    def __post_init__(self):
+        if self.g1_x is None:
+            self.g1_x = jnp.asarray(FP.encode(C.G1_GEN[0]))
+            self.g1_y = jnp.asarray(FP.encode(C.G1_GEN[1]))
+
+
+class BatchedBLS:
+    """Batch-first BLS over the device kernels.  All methods are jittable;
+    batch shapes are leading dims."""
+
+    def __init__(self, params: Params | None = None):
+        self.params = params or Params()
+
+    # ------------------------------------------------------------------
+    # keygen / sign
+    # ------------------------------------------------------------------
+
+    def derive_pubkeys(self, sk_limbs):
+        """sk_limbs: (..., 16) raw (non-Montgomery) Fr limbs ->
+        G1 Jacobian pubkeys (reference src/bls.rs:210-216)."""
+        gen = tuple(
+            jnp.broadcast_to(c, sk_limbs.shape[:-1] + c.shape)
+            for c in CV.G1_GEN_JAC
+        )
+        return CV.pt_mul_var(CV.FP_OPS, gen, sk_limbs, 255)
+
+    def sign(self, sk_limbs, msg_u8, msg_len: int):
+        """-> (sig Jacobian G2, valid mask).  Zero keys yield valid=False
+        (reference rejects them, src/bls.rs:417-419)."""
+        h = hash_to_g2(msg_u8, msg_len)
+        sig = CV.pt_mul_var(CV.FP2_OPS, h, sk_limbs, 255)
+        nonzero = ~jnp.all(sk_limbs == 0, axis=-1)
+        return sig, nonzero
+
+    # ------------------------------------------------------------------
+    # verify
+    # ------------------------------------------------------------------
+
+    def verify(self, pk_aff, sig_aff, msg_u8, msg_len: int):
+        """Batched verification.
+
+        pk_aff  = (x, y, is_inf): affine G1 limb tensors + infinity mask
+        sig_aff = (x2, y2, is_inf): affine G2 (Fp2 pairs) + infinity mask
+        msg_u8  = (..., msg_len) byte tensor
+
+        Returns a boolean tensor (...,).  Semantics (reference
+        src/bls.rs:427-458): identity pk -> False; pk/sig failing
+        on-curve/subgroup -> False; else the pairing product test."""
+        pk_x, pk_y, pk_inf = pk_aff
+        sig_x, sig_y, sig_inf = sig_aff
+
+        # validity checks (the reference errors; we mask to False)
+        pk_jac = CV.pt_from_affine(CV.FP_OPS, pk_x, pk_y, pk_inf)
+        sig_jac = CV.pt_from_affine(CV.FP2_OPS, sig_x, sig_y, sig_inf)
+        pk_ok = (
+            ~pk_inf
+            & CV.pt_on_curve_affine(CV.FP_OPS, pk_x, pk_y, CV.B_G1_MONT)
+            & CV.g1_in_subgroup(pk_jac)
+        )
+        sig_on_curve = CV.pt_on_curve_affine(CV.FP2_OPS, sig_x, sig_y, CV.B_G2_MONT)
+        sig_ok = sig_inf | (sig_on_curve & CV.g2_in_subgroup(sig_jac))
+
+        # h = hash_to_g2(msg), to affine for the mixed-addition Miller loop
+        h_jac = hash_to_g2(msg_u8, msg_len)
+        h_x, h_y, h_inf = CV.pt_to_affine(CV.FP2_OPS, h_jac)
+
+        # e(-g1, sig) * e(pk, h) == 1
+        neg_g1 = (
+            jnp.broadcast_to(self.params.g1_x, pk_x.shape),
+            FP.neg(jnp.broadcast_to(self.params.g1_y, pk_y.shape)),
+        )
+        prod = PR.multi_pairing([
+            (neg_g1, (sig_x, sig_y), ~sig_inf),
+            ((pk_x, pk_y), (h_x, h_y), ~h_inf),
+        ])
+        paired_one = T.fp12_is_one(prod)
+        return paired_one & pk_ok & sig_ok
+
+    # ------------------------------------------------------------------
+    # aggregation
+    # ------------------------------------------------------------------
+
+    def aggregate_pubkeys(self, pk_jac, axis: int = 0):
+        """Projective sum over a batch axis (reference src/bls.rs:182-196).
+        Empty-input handling (None) lives at the host API layer."""
+        return CV.pt_sum(CV.FP_OPS, pk_jac, axis)
+
+    def aggregate_signatures(self, sig_jac, axis: int = 0):
+        return CV.pt_sum(CV.FP2_OPS, sig_jac, axis)
+
+    def aggregate_pubkeys_masked(self, pk_jac, bitmap, axis: int = 0):
+        """Bitmap-gated aggregation: sum of pk_i where bitmap_i == 1, plus
+        the count of set bits — the device analogue of the reference's
+        mapped_aggregate (src/constraints.rs:169-191)."""
+        inf = CV.pt_infinity_like(CV.FP_OPS, pk_jac)
+        masked = CV.pt_cmov(CV.FP_OPS, bitmap > 0, pk_jac, inf)
+        count = jnp.sum(bitmap.astype(jnp.uint32), axis=axis)
+        return CV.pt_sum(CV.FP_OPS, masked, axis), count
+
+
+# ----------------------------------------------------------------------------
+# host-side convenience: wire bytes -> device batches
+# ----------------------------------------------------------------------------
+
+def encode_pubkeys(points):
+    """Host affine G1 points (int tuples / None) -> (x, y, is_inf) device."""
+    import numpy as np
+
+    xs = [0 if p is None else p[0] for p in points]
+    ys = [1 if p is None else p[1] for p in points]
+    inf = np.array([p is None for p in points])
+    return (
+        jnp.asarray(FP.encode(xs)),
+        jnp.asarray(FP.encode(ys)),
+        jnp.asarray(inf),
+    )
+
+
+def encode_signatures(points):
+    """Host affine G2 points -> ((x0,x1),(y0,y1),is_inf) device."""
+    import numpy as np
+
+    x = [(0, 0) if p is None else p[0] for p in points]
+    y = [(1, 0) if p is None else p[1] for p in points]
+    inf = np.array([p is None for p in points])
+    return (
+        (jnp.asarray(FP.encode([c[0] for c in x])), jnp.asarray(FP.encode([c[1] for c in x]))),
+        (jnp.asarray(FP.encode([c[0] for c in y])), jnp.asarray(FP.encode([c[1] for c in y]))),
+        jnp.asarray(inf),
+    )
+
+
+def encode_messages(msgs):
+    """Equal-length host byte strings -> (B, L) uint32 byte tensor."""
+    import numpy as np
+
+    L = len(msgs[0])
+    assert all(len(m) == L for m in msgs), "batch messages must share a length"
+    if L == 0:
+        return jnp.zeros((len(msgs), 0), jnp.uint32)
+    return jnp.asarray(
+        np.stack([np.frombuffer(m, np.uint8).astype(np.uint32) for m in msgs])
+    )
+
+
+def encode_scalars(sks):
+    """Host ints -> (B, 16) raw Fr limb tensor (non-Montgomery)."""
+    from ..ops.limbs import ints_to_limbs
+
+    return jnp.asarray(ints_to_limbs([s % C.R for s in sks], C.NLIMB_FR))

@@ -1,0 +1,258 @@
+"""L3: batched hash-to-G2 on device (jnp path), branch-free.
+
+Pipeline (identical math to golden/hash_to_curve.py, RFC 9380):
+  expand_message_xmd (batched SHA-256) -> hash_to_field (512-bit -> Fp via
+  Montgomery folding) -> simplified SWU (9 mod 16 sqrt with candidate
+  multipliers) -> 3-isogeny -> Budroni-Pintore cofactor clearing.
+
+Static-shape contract: all messages in a batch share one byte length
+(known at trace time); the DST is a host constant.
+
+Parity: value-level equivalent of the reference's circuit hasher
+(src/hasher.rs:26-740) and native hash_to_g2 (src/bls.rs:477-493).
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..golden import field as GF
+from .fp import FP
+from . import tower as T
+from . import curve as CV
+from .sha256 import sha256_bytes
+
+# ----------------------------------------------------------------------------
+# sqrt in Fp2 for q == 9 mod 16: candidate multipliers
+# ----------------------------------------------------------------------------
+
+EXP_SQRT = (C.Q2 + 7) // 16  # z = a^((q+7)/16); true sqrt is z * one of CANDS
+
+
+def _compute_sqrt_candidates():
+    """1, sqrt(-1) = u, sqrt(u), sqrt(-u) — computed via the golden sqrt and
+    verified; these are the reference's C2..C5 role (src/hasher.rs:243-258)."""
+    one = (1, 0)
+    i_ = (0, 1)
+    sq_i = GF.fp2_sqrt(i_)
+    sq_mi = GF.fp2_sqrt(GF.fp2_neg(i_))
+    assert sq_i is not None and sq_mi is not None
+    assert GF.fp2_sqr(sq_i) == i_ and GF.fp2_sqr(sq_mi) == GF.fp2_neg(i_)
+    return (one, i_, sq_i, sq_mi)
+
+
+SQRT_CANDS = tuple(T.fp2_encode(c) for c in _compute_sqrt_candidates())
+
+
+def fp2_sqrt_candidates(a):
+    """Returns (sqrt, is_square) branch-free: one big pow then 4 candidate
+    square checks."""
+    # z = a^((q+7)/16) computed with Fp2 square-and-multiply under scan
+    z = _fp2_pow_const(a, EXP_SQRT)
+    best = T.fp2_zero_like(a)
+    found = FP.is_zero(a[0]) & FP.is_zero(a[1])  # sqrt(0) = 0
+    for cand in SQRT_CANDS:
+        c = T._bcast(cand, a)
+        (t,) = T.fp2_mul_pairs([(z, c)])
+        ok = T.fp2_eq(T.fp2_sqr(t), a)
+        best = T.fp2_cmov(ok & ~found, t, best)
+        found = found | ok
+    return best, found
+
+
+def _fp2_pow_const(a, exponent: int):
+    """a^exponent for a host-constant exponent; MSB-first scan."""
+    import jax
+
+    bits = [(exponent >> i) & 1 for i in range(exponent.bit_length())][::-1]
+    bit_arr = jnp.asarray(np.array(bits, np.uint32))
+    one = T.fp2_one_like(a)
+
+    def body(f, bit):
+        f = T.fp2_sqr(f)
+        fm = T.fp2_mul(f, a)
+        f = T.fp2_cmov(bit > 0, fm, f)
+        return f, None
+
+    f, _ = jax.lax.scan(body, one, bit_arr)
+    return f
+
+
+# ----------------------------------------------------------------------------
+# expand_message_xmd + hash_to_field (device)
+# ----------------------------------------------------------------------------
+
+def expand_message_xmd(msg_u8, msg_len: int, dst: bytes, len_in_bytes: int):
+    """msg_u8: (..., msg_len) byte tensor -> (..., len_in_bytes) byte tensor
+    (RFC 9380 sec 5.3.1; reference circuit version src/hasher.rs:109-173)."""
+    ell = -(-len_in_bytes // 32)
+    assert ell <= 255 and len(dst) <= 255
+    dst_prime = dst + bytes([len(dst)])
+    batch = msg_u8.shape[:-1]
+
+    def const_bytes(bs):
+        return jnp.broadcast_to(
+            jnp.asarray(np.frombuffer(bs, np.uint8).astype(np.uint32)),
+            batch + (len(bs),),
+        )
+
+    z_pad = const_bytes(bytes(64))
+    tail0 = const_bytes(len_in_bytes.to_bytes(2, "big") + b"\x00" + dst_prime)
+    msg_prime = jnp.concatenate([z_pad, msg_u8.astype(jnp.uint32), tail0], axis=-1)
+    b0 = sha256_bytes(msg_prime, 64 + msg_len + 3 + len(dst_prime))
+
+    tail_dst = const_bytes(dst_prime)
+    blen = 32 + 1 + len(dst_prime)
+
+    def block_input(prev_xor, ctr):
+        ctr_b = const_bytes(bytes([ctr]))
+        return jnp.concatenate([prev_xor, ctr_b, tail_dst], axis=-1)
+
+    b1 = sha256_bytes(block_input(b0, 1), blen)
+    blocks = [b1]
+    prev = b1
+    for i in range(2, ell + 1):
+        prev = sha256_bytes(block_input(b0 ^ prev, i), blen)
+        blocks.append(prev)
+    return jnp.concatenate(blocks, axis=-1)[..., :len_in_bytes]
+
+
+def _bytes_be_to_fp(tv):
+    """(..., 64) big-endian bytes -> Fp Montgomery limbs.
+
+    v = hi*2^384 + lo (lo: low 48 bytes, hi: top 16 bytes);
+    v*R = mont_mul(lo, R^2) + mont_mul(hi, R^3)."""
+    rev = tv[..., ::-1]  # little-endian bytes
+    limbs = rev[..., 0::2] + (rev[..., 1::2] << 8)  # (..., 32) 16-bit limbs
+    lo = limbs[..., :24]
+    hi = jnp.concatenate(
+        [limbs[..., 24:], jnp.zeros(limbs.shape[:-1] + (16,), jnp.uint32)], axis=-1
+    )
+    stacked = jnp.stack([lo, hi])
+    consts = jnp.stack([
+        jnp.broadcast_to(FP.R2, lo.shape),
+        jnp.broadcast_to(FP.R3, hi.shape),
+    ])
+    prods = FP.mul(stacked, consts)
+    return FP.add(prods[0], prods[1])
+
+
+def hash_to_field_fp2(msg_u8, msg_len: int, count: int = 2, dst: bytes = C.DST_G2):
+    """-> list of count Fp2 elements (device, Montgomery form)
+    (reference src/hasher.rs:58-107 semantics, 64 bytes per base element)."""
+    m = 2
+    lib = count * m * C.L_FIELD
+    uniform = expand_message_xmd(msg_u8, msg_len, dst, lib)
+    out = []
+    for i in range(count):
+        coords = []
+        for j in range(m):
+            off = C.L_FIELD * (j + i * m)
+            coords.append(_bytes_be_to_fp(uniform[..., off : off + C.L_FIELD]))
+        out.append((coords[0], coords[1]))
+    return out
+
+
+# ----------------------------------------------------------------------------
+# simplified SWU for AB != 0 (9 mod 16), then 3-isogeny
+# ----------------------------------------------------------------------------
+
+SSWU_A = T.fp2_encode(C.SSWU_A)
+SSWU_B = T.fp2_encode(C.SSWU_B)
+SSWU_Z = T.fp2_encode(C.SSWU_Z)
+# c1 = -B/A, c2 = -1/Z (host-precomputed)
+_C1_HOST = GF.fp2_mul(GF.fp2_neg(C.SSWU_B), GF.fp2_inv(C.SSWU_A))
+_C2_HOST = GF.fp2_neg(GF.fp2_inv(C.SSWU_Z))
+SSWU_C1 = T.fp2_encode(_C1_HOST)
+SSWU_C2 = T.fp2_encode(_C2_HOST)
+
+
+def sswu_map(u):
+    """u (Fp2) -> affine point on E2' (branch-free; RFC 9380 F.2.1.2 shape).
+    Value-level twin of the reference's map_to_curve_9mod16
+    (src/hasher.rs:352-502)."""
+    A = T._bcast(SSWU_A, u)
+    B = T._bcast(SSWU_B, u)
+    Z = T._bcast(SSWU_Z, u)
+    c1 = T._bcast(SSWU_C1, u)
+    c2 = T._bcast(SSWU_C2, u)
+
+    u2 = T.fp2_sqr(u)
+    (tv1,) = T.fp2_mul_pairs([(Z, u2)])
+    tv2 = T.fp2_add(T.fp2_sqr(tv1), tv1)
+    inv_tv2 = T.fp2_inv(tv2)  # 0 -> 0
+    e1 = T.fp2_is_zero(tv2)
+    x1f = T.fp2_add(T.fp2_one_like(u), inv_tv2)
+    x1f = T.fp2_cmov(e1, c2, x1f)
+    (x1,) = T.fp2_mul_pairs([(c1, x1f)])
+    # gx1 = x1^3 + A x1 + B
+    x1sq = T.fp2_sqr(x1)
+    gx1_a, ax1 = T.fp2_mul_pairs([(x1sq, x1), (A, x1)])
+    gx1 = T.fp2_add(T.fp2_add(gx1_a, ax1), B)
+    # x2 = tv1 * x1 ; gx2 evaluated directly (the gx1 * tv1^3 identity fails
+    # in the measure-zero u == 0 case, so avoid it)
+    (x2,) = T.fp2_mul_pairs([(tv1, x1)])
+    x2sq = T.fp2_sqr(x2)
+    gx2_a, ax2 = T.fp2_mul_pairs([(x2sq, x2), (A, x2)])
+    gx2 = T.fp2_add(T.fp2_add(gx2_a, ax2), B)
+
+    y1, ok1 = fp2_sqrt_candidates(gx1)
+    y2, _ = fp2_sqrt_candidates(gx2)
+    x = T.fp2_cmov(ok1, x1, x2)
+    y = T.fp2_cmov(ok1, y1, y2)
+    # fix sign: sgn0(y) == sgn0(u)
+    flip = T.fp2_sgn0(u) != T.fp2_sgn0(y)
+    y = T.fp2_cmov(flip, T.fp2_neg(y), y)
+    return x, y
+
+
+ISO_XNUM = tuple(T.fp2_encode(c) for c in C.ISO3_XNUM)
+ISO_XDEN = tuple(T.fp2_encode(c) for c in C.ISO3_XDEN)
+ISO_YNUM = tuple(T.fp2_encode(c) for c in C.ISO3_YNUM)
+ISO_YDEN = tuple(T.fp2_encode(c) for c in C.ISO3_YDEN)
+
+
+def _horner(coeffs, x):
+    acc = T._bcast(coeffs[-1], x)
+    for c in reversed(coeffs[:-1]):
+        (ax,) = T.fp2_mul_pairs([(acc, x)])
+        acc = T.fp2_add(ax, T._bcast(c, x))
+    return acc
+
+
+def iso3_map_jacobian(x, y):
+    """3-isogeny E2' -> E2 returning Jacobian coords (no inversion).
+
+    Packing with Z = xd*yd:
+      X = xn*yd*Z    so X/Z^2 = xn*yd/(xd*yd) = xn/xd        (affine x')
+      Y = y*yn*xd*Z^2 so Y/Z^3 = y*yn*xd/(xd*yd) = y*yn/yd   (affine y')
+    xd == 0 or yd == 0 gives Z = 0 (infinity), matching the golden path.
+    (reference isogeny_map src/hasher.rs:294-348)."""
+    xn = _horner(ISO_XNUM, x)
+    xd = _horner(ISO_XDEN, x)
+    yn = _horner(ISO_YNUM, x)
+    yd = _horner(ISO_YDEN, x)
+    (z,) = T.fp2_mul_pairs([(xd, yd)])
+    xnyd, yxd = T.fp2_mul_pairs([(xn, yd), (y, xd)])
+    (X,) = T.fp2_mul_pairs([(xnyd, z)])
+    z2 = T.fp2_sqr(z)
+    (ynyxd,) = T.fp2_mul_pairs([(yn, yxd)])
+    (Y,) = T.fp2_mul_pairs([(ynyxd, z2)])
+    return (X, Y, z)
+
+
+def map_to_curve_g2(u):
+    """SSWU + isogeny -> G2 Jacobian point."""
+    x, y = sswu_map(u)
+    return iso3_map_jacobian(x, y)
+
+
+def hash_to_g2(msg_u8, msg_len: int, dst: bytes = C.DST_G2):
+    """Full batched hash-to-G2 -> Jacobian G2 point (in E2, subgroup)."""
+    u0, u1 = hash_to_field_fp2(msg_u8, msg_len, 2, dst)
+    q0 = map_to_curve_g2(u0)
+    q1 = map_to_curve_g2(u1)
+    r = CV.pt_add(CV.FP2_OPS, q0, q1)
+    return CV.g2_clear_cofactor(r)

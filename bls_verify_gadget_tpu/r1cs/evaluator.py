@@ -1,0 +1,118 @@
+"""TPU-batched R1CS satisfiability checking.
+
+Constraint rows are exported by ConstraintSystem.to_arrays as fixed-width
+(row, W) index/coefficient tables; evaluation is a batched sparse dot over
+the witness tensor in Montgomery limb form:
+
+    <A_i, w> * <B_i, w> == <C_i, w>   for every row i, every batch element.
+
+Correctness with Montgomery forms: with w and coefficients both in Montgomery
+form, mont_mul gives the Montgomery form of the product, sums stay in
+Montgomery form, and the final mont_mul(A, B) = (a*b)R compares directly
+against C = cR.
+
+Rows are processed in chunks under lax.scan to bound the gather footprint
+(SURVEY.md sec 7: "witness evaluation = batched a*b=c verification over Fq",
+the TPU replacement for ark-relations' host-side checking).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fp import FP
+from .. import constants as C
+
+
+def encode_witness(assignments) -> np.ndarray:
+    """Python-int assignment vector -> (num_vars, 24) Montgomery limbs."""
+    return FP.encode(list(assignments))
+
+
+def encode_witness_batch(batch_assignments) -> np.ndarray:
+    """List of assignment vectors -> (B, num_vars, 24)."""
+    return np.stack([encode_witness(a) for a in batch_assignments])
+
+
+def _encode_coeffs(coeff_obj: np.ndarray) -> np.ndarray:
+    """(R, W) object array of python ints -> (R, W, 24) Montgomery limbs."""
+    r, w = coeff_obj.shape
+    flat = [int(x) if x else 0 for x in coeff_obj.reshape(-1)]
+    return FP.encode(flat).reshape(r, w, C.NLIMB)
+
+
+def prepare(arrays):
+    """to_arrays() output -> device-ready dict (pads rows to a chunkable
+    multiple)."""
+    out = {"num_vars": arrays["num_vars"]}
+    for side in "abc":
+        out[f"{side}_idx"] = np.asarray(arrays[f"{side}_idx"], np.int32)
+        out[f"{side}_coeff"] = _encode_coeffs(arrays[f"{side}_coeff"])
+    return out
+
+
+def _dot_rows(witness, idx, coeff):
+    """witness (B, V, L); idx (R, W); coeff (R, W, L) -> (B, R, L) mod-p
+    row dot products."""
+    vals = witness[:, idx, :]  # (B, R, W, L)
+    prods = FP.mul(vals, coeff)  # broadcast coeff over batch
+    # tree-reduce the W terms with stacked adds
+    w = prods.shape[-2]
+    while w > 1:
+        half = w // 2
+        lo = prods[..., :half, :]
+        hi = prods[..., half : 2 * half, :]
+        s = FP.add(lo, hi)
+        if w % 2:
+            s = jnp.concatenate([s, prods[..., 2 * half :, :]], axis=-2)
+            w = half + 1
+        else:
+            w = half
+        prods = s
+    return prods[..., 0, :]
+
+
+def check_satisfied(prepared, witness_limbs, chunk: int = 8192):
+    """-> (B,) bool: every constraint row holds for every batch element.
+    Scans over row chunks to bound memory."""
+    witness = jnp.asarray(witness_limbs)
+    n_rows = prepared["a_idx"].shape[0]
+    n_chunks = -(-n_rows // chunk)
+    pad = n_chunks * chunk - n_rows
+
+    def pad_rows(x, is_idx):
+        if pad == 0:
+            return x
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, cfg)  # zero rows: <0,w>*<0,w> == <0,w> holds
+
+    data = {}
+    for side in "abc":
+        data[f"{side}_idx"] = jnp.asarray(
+            pad_rows(prepared[f"{side}_idx"], True).reshape(n_chunks, chunk, -1)
+        )
+        co = pad_rows(prepared[f"{side}_coeff"], False)
+        data[f"{side}_coeff"] = jnp.asarray(
+            co.reshape(n_chunks, chunk, co.shape[-2], co.shape[-1])
+        )
+
+    def body(ok, xs):
+        ai, ac, bi, bc, ci, cc = xs
+        a = _dot_rows(witness, ai, ac)
+        b = _dot_rows(witness, bi, bc)
+        c = _dot_rows(witness, ci, cc)
+        ab = FP.mul(a, b)
+        row_ok = jnp.all(FP.eq(ab, c), axis=-1)  # (B,)
+        return ok & row_ok, None
+
+    ok0 = jnp.ones((witness.shape[0],), bool)
+    ok, _ = jax.lax.scan(
+        body,
+        ok0,
+        (
+            data["a_idx"], data["a_coeff"],
+            data["b_idx"], data["b_coeff"],
+            data["c_idx"], data["c_coeff"],
+        ),
+    )
+    return ok

@@ -1,0 +1,92 @@
+"""In-circuit SHA-256 over UInt32 gadgets (Sha256Gadget parity — the
+reference uses ark_crypto_primitives::Sha256Gadget, src/hasher.rs:19,139).
+
+Interface is byte-level (UInt8 vars), padding is host-static (message
+lengths are known at circuit-build time, matching the device path's
+static-shape contract)."""
+
+from __future__ import annotations
+
+from ..constants import SHA256_IV, SHA256_K
+from .gadgets import UInt8, UInt32, Boolean
+
+
+def _u32_from_bytes_be(b4):
+    """4 UInt8 -> UInt32 (big-endian bytes)."""
+    cs = b4[0].cs
+    bits = []
+    # little-endian bit order within the word: byte 3 holds bits 0..7
+    for byte in reversed(b4):
+        bits.extend(byte.bits)
+    value = (b4[0].value << 24) | (b4[1].value << 16) | (b4[2].value << 8) | b4[3].value
+    return UInt32(cs, bits, value)
+
+
+def _u32_to_bytes_be(w: UInt32):
+    cs = w.cs
+    out = []
+    for i in (3, 2, 1, 0):
+        bits = w.bits[8 * i : 8 * i + 8]
+        out.append(UInt8(cs, bits, (w.value >> (8 * i)) & 0xFF))
+    return out
+
+
+def _small_sigma(w: UInt32, r1, r2, s):
+    return w.rotr(r1).xor(w.rotr(r2)).xor(w.shr(s))
+
+
+def _big_sigma(w: UInt32, r1, r2, r3):
+    return w.rotr(r1).xor(w.rotr(r2)).xor(w.rotr(r3))
+
+
+def _ch(e, f, g):
+    return e.and_(f).xor(e.not_().and_(g))
+
+
+def _maj(a, b, c):
+    return a.and_(b).xor(a.and_(c)).xor(b.and_(c))
+
+
+def _compress(cs, state, block_words):
+    w = list(block_words)
+    for t in range(16, 64):
+        s0 = _small_sigma(w[t - 15], 7, 18, 3)
+        s1 = _small_sigma(w[t - 2], 17, 19, 10)
+        w.append(UInt32.addmany([w[t - 16], s0, w[t - 7], s1]))
+    a, b, c, d, e, f, g, h = state
+    for t in range(64):
+        S1 = _big_sigma(e, 6, 11, 25)
+        ch = _ch(e, f, g)
+        t1 = UInt32.addmany([h, S1, ch, UInt32.constant(cs, SHA256_K[t]), w[t]])
+        S0 = _big_sigma(a, 2, 13, 22)
+        maj = _maj(a, b, c)
+        t2 = UInt32.addmany([S0, maj])
+        h, g, f, e = g, f, e, UInt32.addmany([d, t1])
+        d, c, b, a = c, b, a, UInt32.addmany([t1, t2])
+    return [
+        UInt32.addmany([x, y])
+        for x, y in zip(state, (a, b, c, d, e, f, g, h))
+    ]
+
+
+def sha256_gadget(cs, msg_bytes: list[UInt8]) -> list[UInt8]:
+    """SHA-256 of a byte-gadget message -> 32 byte gadgets."""
+    L = len(msg_bytes)
+    # standard padding with host-known length
+    pad = [UInt8.constant(cs, 0x80)]
+    while (L + len(pad)) % 64 != 56:
+        pad.append(UInt8.constant(cs, 0))
+    bitlen = L * 8
+    for i in range(8):
+        pad.append(UInt8.constant(cs, (bitlen >> (8 * (7 - i))) & 0xFF))
+    data = msg_bytes + pad
+    state = [UInt32.constant(cs, iv) for iv in SHA256_IV]
+    for off in range(0, len(data), 64):
+        words = [
+            _u32_from_bytes_be(data[off + 4 * i : off + 4 * i + 4]) for i in range(16)
+        ]
+        state = _compress(cs, state, words)
+    out = []
+    for wd in state:
+        out.extend(_u32_to_bytes_be(wd))
+    return out
