@@ -13,9 +13,10 @@ Design notes (TPU-first):
     propagation) run under lax.scan so the traced graph per field-mul is a
     few dozen equations — a full pairing stays traceable.  The batch axis
     keeps the VPU wide regardless.
-  * A fused Pallas kernel for the Montgomery multiply lives in
-    ops/pallas/modmul.py; this module is the portable fallback, the CPU test
-    path, and the reference the kernel is differential-tested against.
+  * Fused Pallas kernels (mul/add/sub) live in ops/pallas/kernels.py and
+    are dispatched automatically on TPU backends; this module is the
+    portable fallback, the CPU test path, and the reference the kernels are
+    differential-tested against.
 
 Parity: replaces ark-ff Fp384/Fr Montgomery arithmetic
 (reference Cargo.toml:17, src/bls.rs:10,60, src/hasher.rs:7).
@@ -54,6 +55,31 @@ class ModField:
         self.R3 = jnp.asarray(int_to_limbs(self.mont_r**3 % modulus, nlimb))
         self.ZERO = jnp.zeros((nlimb,), jnp.uint32)
         self.ONE = self.R_MOD  # Montgomery form of 1
+        self._kernels = None
+
+    # ------------------------------------------------------------------
+    # fused Pallas kernels (TPU backends): drop-in replacements for
+    # mul/add/sub with identical canonical semantics
+    # ------------------------------------------------------------------
+
+    @property
+    def kernels(self):
+        if self._kernels is None:
+            from .pallas.kernels import FieldKernels
+            from ..utils.config import config
+
+            self._kernels = FieldKernels(self, tile=config.pallas_tile)
+        return self._kernels
+
+    def _use_pallas(self) -> bool:
+        from ..utils.config import config
+
+        if not config.use_pallas:
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     # ------------------------------------------------------------------
     # host conversions
@@ -124,6 +150,8 @@ class ModField:
     def add(self, a, b):
         """a + b mod m in ONE fused scan: carry-propagate the sum and
         subtract m with borrow in the same pass, then select."""
+        if self._use_pallas():
+            return self.kernels.add(a, b)
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         a = jnp.broadcast_to(a, shape)
         b = jnp.broadcast_to(b, shape)
@@ -146,6 +174,8 @@ class ModField:
     def sub(self, a, b):
         """a - b mod m in ONE fused scan: subtract with borrow and add m
         with carry in the same pass, then select on the final borrow."""
+        if self._use_pallas():
+            return self.kernels.sub(a, b)
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         a = jnp.broadcast_to(a, shape)
         b = jnp.broadcast_to(b, shape)
@@ -175,7 +205,12 @@ class ModField:
            reduction step into a sliding (n+1)-column window (columns stay
            < 2^23, so uint32 never overflows);
         2. fused tail: carry-propagate and conditional-subtract in one pass.
+
+        On TPU backends the fused Pallas kernel replaces this whole pipeline
+        with a single dispatch (ops/pallas/kernels.py).
         """
+        if self._use_pallas():
+            return self.kernels.mul(a, b)
         n = self.nlimb
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, shape + (n,))
