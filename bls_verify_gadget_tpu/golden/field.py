@@ -250,6 +250,44 @@ def fp12_pow(a, e):
 def fp12_is_one(a):
     return a == FP12_ONE
 
+def _fp4_sqr(a, b):
+    """(a + b V)^2 in Fp4 = Fp2[V]/(V^2 - xi): (a^2 + xi b^2, 2ab)."""
+    t0 = fp2_sqr(a)
+    t1 = fp2_sqr(b)
+    t2 = fp2_sub(fp2_sqr(fp2_add(a, b)), fp2_add(t0, t1))
+    return (fp2_add(t0, fp2_mul_xi(t1)), t2)
+
+
+def fp12_cyclotomic_sqr(f):
+    """Granger-Scott squaring for elements of the cyclotomic subgroup
+    (valid after the easy part of the final exponentiation): 9 Fp2 squares
+    instead of a full Fp12 square.  Mapping validated numerically against
+    fp12_sqr."""
+    a, b = f
+    z = (a[0], b[1], b[0], a[2], a[1], b[2])
+    t00, t01 = _fp4_sqr(z[0], z[1])
+    t20, t21 = _fp4_sqr(z[2], z[3])
+    t40, t41 = _fp4_sqr(z[4], z[5])
+
+    def m3m2(t, zz):  # 3t - 2z
+        r = fp2_sub(t, zz)
+        r = fp2_add(r, r)
+        return fp2_add(r, t)
+
+    def p3p2(t, zz):  # 3t + 2z
+        r = fp2_add(t, zz)
+        r = fp2_add(r, r)
+        return fp2_add(r, t)
+
+    z0n = m3m2(t00, z[0])
+    z1n = p3p2(t01, z[1])
+    z2n = p3p2(fp2_mul_xi(t41), z[2])
+    z3n = m3m2(t40, z[3])
+    z4n = m3m2(t20, z[4])
+    z5n = p3p2(t21, z[5])
+    return ((z0n, z4n, z3n), (z2n, z1n, z5n))
+
+
 # Frobenius maps: (x + y u)^p = x - y u, then tower coefficients.
 
 def fp6_frob(a, power):

@@ -201,20 +201,57 @@ def pt_eq(ops, p, q):
 # ----------------------------------------------------------------------------
 
 def pt_mul_const(ops, p, scalar: int):
-    """p * scalar for a host-constant non-negative scalar, MSB-first
-    double-and-cmov-add under lax.scan."""
+    """p * scalar for a host-constant non-negative scalar.
+
+    TPU backends: the bit pattern is static, so the ladder is structured as
+    runs — a doubling-only scan per run of zero bits plus one real addition
+    per set bit (for the sparse BLS scalars this cuts kernel launches ~2.5x
+    vs bitwise double-and-cmov).  CPU/test backends keep the compact
+    cmov-in-scan form, whose XLA compile is far cheaper.
+    """
     if scalar == 0:
         return pt_infinity_like(ops, p)
-    bits = [(scalar >> i) & 1 for i in range(scalar.bit_length())][::-1]
-    bit_arr = jnp.asarray(np.array(bits, np.uint32))
-    acc0 = pt_infinity_like(ops, p)
+    from ..utils.config import use_static_ladders
 
-    def body(acc, bit):
-        acc = pt_double(ops, acc)
-        acc = pt_cmov(ops, bit > 0, pt_add(ops, acc, p), acc)
-        return acc, None
+    if not use_static_ladders():
+        bits_arr = jnp.asarray(
+            np.array([(scalar >> i) & 1 for i in range(scalar.bit_length())][::-1], np.uint32)
+        )
+        acc0 = pt_infinity_like(ops, p)
 
-    acc, _ = jax.lax.scan(body, acc0, bit_arr)
+        def body(acc, bit):
+            acc = pt_double(ops, acc)
+            acc = pt_cmov(ops, bit > 0, pt_add(ops, acc, p), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc0, bits_arr)
+        return acc
+
+    bits = bin(scalar)[2:]  # MSB first
+
+    def dbl_scan(pt, count):
+        if count == 0:
+            return pt
+        if count <= 2:
+            for _ in range(count):
+                pt = pt_double(ops, pt)
+            return pt
+
+        def body(acc, _):
+            return pt_double(ops, acc), None
+
+        acc, _ = jax.lax.scan(body, pt, None, length=count)
+        return acc
+
+    acc = p  # top set bit
+    run = 0
+    for bit in bits[1:]:
+        run += 1
+        if bit == "1":
+            acc = dbl_scan(acc, run)
+            acc = pt_add(ops, acc, p)
+            run = 0
+    acc = dbl_scan(acc, run)
     return acc
 
 

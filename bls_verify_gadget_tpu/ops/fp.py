@@ -285,18 +285,32 @@ class ModField:
     # ------------------------------------------------------------------
 
     def pow_const(self, a, exponent: int):
-        """a^exponent (Montgomery in/out) for a host-constant exponent,
-        MSB-first square-and-cmov-multiply under lax.scan."""
-        bits = [(exponent >> i) & 1 for i in range(exponent.bit_length())][::-1]
-        bit_arr = jnp.asarray(np.array(bits, np.uint32))
+        """a^exponent (Montgomery in/out) for a host-constant exponent.
+
+        4-bit windowed: precompute a^0..a^15, then scan windows MSB-first
+        with 4 squarings + one table-selected multiply — ~2x fewer multiplies
+        and kernel launches than bitwise square-and-cmov-multiply."""
+        if exponent == 0:
+            return jnp.broadcast_to(self.ONE, a.shape)
+        w = 4
+        nwin = (exponent.bit_length() + w - 1) // w
+        digits = [(exponent >> (w * i)) & 15 for i in range(nwin)][::-1]
+        # table[i] = a^i, stacked (16, ..., n)
+        tab = [jnp.broadcast_to(self.ONE, a.shape), a]
+        for i in range(2, 16):
+            tab.append(self.mul(tab[i - 1], a))
+        table = jnp.stack(tab)
+        dig_arr = jnp.asarray(np.array(digits, np.uint32))
         one = jnp.broadcast_to(self.ONE, a.shape)
 
-        def body(f, bit):
-            f = self.mul(f, f)
-            f = self.cmov(bit > 0, self.mul(f, a), f)
+        def body(f, d):
+            for _ in range(w):
+                f = self.mul(f, f)
+            sel = table[d]  # dynamic gather over the leading table axis
+            f = self.mul(f, sel)
             return f, None
 
-        f, _ = jax.lax.scan(body, one, bit_arr)
+        f, _ = jax.lax.scan(body, one, dig_arr)
         return f
 
     def inv(self, a):

@@ -46,37 +46,50 @@ def _compute_sqrt_candidates():
 SQRT_CANDS = tuple(T.fp2_encode(c) for c in _compute_sqrt_candidates())
 
 
-def fp2_sqrt_candidates(a):
-    """Returns (sqrt, is_square) branch-free: one big pow then 4 candidate
-    square checks."""
-    # z = a^((q+7)/16) computed with Fp2 square-and-multiply under scan
-    z = _fp2_pow_const(a, EXP_SQRT)
-    best = T.fp2_zero_like(a)
-    found = FP.is_zero(a[0]) & FP.is_zero(a[1])  # sqrt(0) = 0
+def _sqrt_from_candidate(z, target):
+    """Given z with z^2 = target * w for w an 8th root of unity, try the 4
+    candidate multipliers; returns (sqrt, found) branch-free."""
+    best = T.fp2_zero_like(target)
+    found = FP.is_zero(target[0]) & FP.is_zero(target[1])  # sqrt(0) = 0
     for cand in SQRT_CANDS:
-        c = T._bcast(cand, a)
+        c = T._bcast(cand, target)
         (t,) = T.fp2_mul_pairs([(z, c)])
-        ok = T.fp2_eq(T.fp2_sqr(t), a)
+        ok = T.fp2_eq(T.fp2_sqr(t), target)
         best = T.fp2_cmov(ok & ~found, t, best)
         found = found | ok
     return best, found
 
 
+def fp2_sqrt_candidates(a):
+    """Returns (sqrt, is_square) branch-free: one big pow then 4 candidate
+    square checks."""
+    z = _fp2_pow_const(a, EXP_SQRT)
+    return _sqrt_from_candidate(z, a)
+
+
 def _fp2_pow_const(a, exponent: int):
-    """a^exponent for a host-constant exponent; MSB-first scan."""
+    """a^exponent for a host-constant exponent: 4-bit windowed scan
+    (4 squarings + one table-selected multiply per window)."""
     import jax
 
-    bits = [(exponent >> i) & 1 for i in range(exponent.bit_length())][::-1]
-    bit_arr = jnp.asarray(np.array(bits, np.uint32))
+    w = 4
+    nwin = (exponent.bit_length() + w - 1) // w
+    digits = [(exponent >> (w * i)) & 15 for i in range(nwin)][::-1]
+    tab = [T.fp2_one_like(a), a]
+    for i in range(2, 16):
+        tab.append(T.fp2_mul(tab[i - 1], a))
+    t0 = jnp.stack([t[0] for t in tab])
+    t1 = jnp.stack([t[1] for t in tab])
+    dig_arr = jnp.asarray(np.array(digits, np.uint32))
     one = T.fp2_one_like(a)
 
-    def body(f, bit):
-        f = T.fp2_sqr(f)
-        fm = T.fp2_mul(f, a)
-        f = T.fp2_cmov(bit > 0, fm, f)
+    def body(f, d):
+        for _ in range(w):
+            f = T.fp2_sqr(f)
+        f = T.fp2_mul(f, (t0[d], t1[d]))
         return f, None
 
-    f, _ = jax.lax.scan(body, one, bit_arr)
+    f, _ = jax.lax.scan(body, one, dig_arr)
     return f
 
 
@@ -167,6 +180,12 @@ _C1_HOST = GF.fp2_mul(GF.fp2_neg(C.SSWU_B), GF.fp2_inv(C.SSWU_A))
 _C2_HOST = GF.fp2_neg(GF.fp2_inv(C.SSWU_Z))
 SSWU_C1 = T.fp2_encode(_C1_HOST)
 SSWU_C2 = T.fp2_encode(_C2_HOST)
+# Cz3 = (Z^3)^((q+7)/16): lets sqrt(gx2) reuse the gx1 exponentiation
+# (gx2 = gx1 Z^3 u^6, and Z^3 is a non-residue, so gx1 non-square implies
+# gx1 Z^3 square; sqrt(gx2) = sqrt(gx1 Z^3) * u^3).
+_Z3_HOST = GF.fp2_mul(GF.fp2_mul(C.SSWU_Z, C.SSWU_Z), C.SSWU_Z)
+assert not GF.fp2_is_square(_Z3_HOST), "Z^3 must be a non-residue"
+SSWU_CZ3 = T.fp2_encode(GF.fp2_pow(_Z3_HOST, (C.Q2 + 7) // 16))
 
 
 def sswu_map(u):
@@ -191,15 +210,22 @@ def sswu_map(u):
     x1sq = T.fp2_sqr(x1)
     gx1_a, ax1 = T.fp2_mul_pairs([(x1sq, x1), (A, x1)])
     gx1 = T.fp2_add(T.fp2_add(gx1_a, ax1), B)
-    # x2 = tv1 * x1 ; gx2 evaluated directly (the gx1 * tv1^3 identity fails
-    # in the measure-zero u == 0 case, so avoid it)
+    # x2 = tv1 * x1 ; gx2 evaluated directly (exact for all u)
     (x2,) = T.fp2_mul_pairs([(tv1, x1)])
     x2sq = T.fp2_sqr(x2)
     gx2_a, ax2 = T.fp2_mul_pairs([(x2sq, x2), (A, x2)])
     gx2 = T.fp2_add(T.fp2_add(gx2_a, ax2), B)
 
-    y1, ok1 = fp2_sqrt_candidates(gx1)
-    y2, _ = fp2_sqrt_candidates(gx2)
+    # ONE shared exponentiation: z1 = gx1^((q+7)/16) gives the sqrt(gx1)
+    # candidates; z1 * Cz3 * u^3 gives the sqrt(gx2) candidates
+    # (gx2 = gx1 Z^3 u^6 away from the measure-zero u == 0 case).
+    z1 = _fp2_pow_const(gx1, EXP_SQRT)
+    y1, ok1 = _sqrt_from_candidate(z1, gx1)
+    (u3,) = T.fp2_mul_pairs([(u2, u)])
+    cz3 = T._bcast(SSWU_CZ3, u)
+    (zc,) = T.fp2_mul_pairs([(z1, cz3)])
+    (z2,) = T.fp2_mul_pairs([(zc, u3)])
+    y2, _ = _sqrt_from_candidate(z2, gx2)
     x = T.fp2_cmov(ok1, x1, x2)
     y = T.fp2_cmov(ok1, y1, y2)
     # fix sign: sgn0(y) == sgn0(u)

@@ -152,9 +152,7 @@ def multi_miller_loop(pairs):
         t0.append((q[0], q[1], T.fp2_one_like(q[0])))
     f0 = _fp12_one_like_from(qs[0][0])
 
-    bits = jnp.asarray(np.array(_ABS_X_BITS_MSB[1:], np.uint32))
-
-    def body(state, bit):
+    def dbl_body(state, _):
         f, ts = state
         f = T.fp12_sqr(f)
         new_ts = []
@@ -162,17 +160,53 @@ def multi_miller_loop(pairs):
             tnew, (c0, c1, c4) = _dbl_step(ts[i], xps[i], yps[i])
             c0, c1, c4 = _neutral_line(c0, c1, c4, valids[i])
             f = fp12_mul_by_014(f, c0, c1, c4)
-            # conditional add step
-            tadd, (a0, a1, a4) = _add_step(tnew, qs[i], xps[i], yps[i])
-            a0, a1, a4 = _neutral_line(a0, a1, a4, valids[i] & (bit > 0))
-            fa = fp12_mul_by_014(f, a0, a1, a4)
-            f = T.fp12_cmov(bit > 0, fa, f)
-            tnew = _pt2_cmov(bit > 0, tadd, tnew)
             new_ts.append(tnew)
         return (f, tuple(new_ts)), None
 
-    (f, _), _ = jax.lax.scan(body, (f0, tuple(t0)), bits)
-    return T.fp12_conj(f)  # x < 0
+    def add_block(state):
+        f, ts = state
+        new_ts = []
+        for i in range(len(ts)):
+            tadd, (a0, a1, a4) = _add_step(ts[i], qs[i], xps[i], yps[i])
+            a0, a1, a4 = _neutral_line(a0, a1, a4, valids[i])
+            f = fp12_mul_by_014(f, a0, a1, a4)
+            new_ts.append(tadd)
+        return (f, tuple(new_ts))
+
+    from ..utils.config import use_static_ladders
+
+    state = (f0, tuple(t0))
+    if use_static_ladders():
+        # TPU: runs of doubling-only scan segments + one real addition block
+        # per set bit (static bit pattern, no cmov work)
+        run = 0
+        for bit in _ABS_X_BITS_MSB[1:]:
+            run += 1
+            if bit:
+                state, _ = jax.lax.scan(dbl_body, state, None, length=run)
+                state = add_block(state)
+                run = 0
+        if run:
+            state, _ = jax.lax.scan(dbl_body, state, None, length=run)
+        return T.fp12_conj(state[0])  # x < 0
+
+    # CPU/test backends: compact uniform body with cmov'd add steps
+    bits = jnp.asarray(np.array(_ABS_X_BITS_MSB[1:], np.uint32))
+
+    def body(st, bit):
+        st, _ = dbl_body(st, None)
+        f, ts = st
+        new_ts = []
+        for i, (p, q, valid) in enumerate(pairs):
+            tadd, line = _add_step(ts[i], q, p[0], p[1])
+            a0, a1, a4 = _neutral_line(*line, valid & (bit > 0))
+            fa = fp12_mul_by_014(f, a0, a1, a4)
+            f = T.fp12_cmov(bit > 0, fa, f)
+            new_ts.append(_pt2_cmov(bit > 0, tadd, ts[i]))
+        return (f, tuple(new_ts)), None
+
+    state, _ = jax.lax.scan(body, state, bits)
+    return T.fp12_conj(state[0])  # x < 0
 
 
 def _pt2_cmov(cond, a, b):
@@ -191,17 +225,48 @@ def _fp12_one_like_from(fp2_sample):
 
 def _exp_by_neg_x(m):
     """m^x (x the negative BLS parameter) for m in the cyclotomic subgroup:
-    square-and-multiply over |x| then conjugate."""
-    bits = jnp.asarray(np.array(_ABS_X_BITS_MSB, np.uint32))
-    one = _fp12_one_like_from(m[0][0])
+    Granger-Scott squarings; static run-structure on TPU, compact cmov scan
+    on CPU/test backends (see config.static_ladders)."""
+    from ..utils.config import use_static_ladders
 
-    def body(f, bit):
-        f = T.fp12_sqr(f)
-        fm = T.fp12_mul(f, m)
-        f = T.fp12_cmov(bit > 0, fm, f)
-        return f, None
+    if not use_static_ladders():
+        bits = jnp.asarray(np.array(_ABS_X_BITS_MSB, np.uint32))
+        one = _fp12_one_like_from(m[0][0])
 
-    f, _ = jax.lax.scan(body, one, bits)
+        def body(f, bit):
+            f = T.fp12_cyclotomic_sqr(f)
+            fm = T.fp12_mul(f, m)
+            f = T.fp12_cmov(bit > 0, fm, f)
+            return f, None
+
+        f, _ = jax.lax.scan(body, one, bits)
+        return T.fp12_conj(f)
+
+    def sqr_scan(f, count):
+        # Granger-Scott cyclotomic squaring: valid because _exp_by_neg_x is
+        # only ever applied after the easy part
+        if count == 0:
+            return f
+        if count <= 2:
+            for _ in range(count):
+                f = T.fp12_cyclotomic_sqr(f)
+            return f
+
+        def body(acc, _):
+            return T.fp12_cyclotomic_sqr(acc), None
+
+        f, _ = jax.lax.scan(body, f, None, length=count)
+        return f
+
+    f = m  # top set bit
+    run = 0
+    for bit in _ABS_X_BITS_MSB[1:]:
+        run += 1
+        if bit:
+            f = sqr_scan(f, run)
+            f = T.fp12_mul(f, m)
+            run = 0
+    f = sqr_scan(f, run)
     return T.fp12_conj(f)
 
 

@@ -99,6 +99,105 @@ def _sub_kernel(a_ref, b_ref, p_ref, o_ref, *, n, tb):
     o_ref[:] = jnp.transpose(jnp.where(borrow == 1, ss, dd), (1, 0))
 
 
+def _conv_reduce(t_ref, a, b, p_limbs, n, tb, n0):
+    """Montgomery product of transposed (n, TB) operands via the scratch
+    ref; returns the canonical (n, TB) result rows as a value."""
+    t_ref[:] = jnp.zeros_like(t_ref)
+    for i in range(n):
+        prod = a[i : i + 1, :] * b
+        t_ref[i : i + n, :] = t_ref[i : i + n, :] + (prod & 0xFFFF)
+        t_ref[i + 1 : i + n + 1, :] = t_ref[i + 1 : i + n + 1, :] + (prod >> 16)
+    for i in range(n):
+        m = (t_ref[i : i + 1, :] * n0) & 0xFFFF
+        q = m * p_limbs
+        t_ref[i : i + n, :] = t_ref[i : i + n, :] + (q & 0xFFFF)
+        t_ref[i + 1 : i + n + 1, :] = t_ref[i + 1 : i + n + 1, :] + (q >> 16)
+        t_ref[i + 1 : i + 2, :] = t_ref[i + 1 : i + 2, :] + (
+            t_ref[i : i + 1, :] >> 16
+        )
+    res = []
+    carry = jnp.zeros((1, tb), jnp.uint32)
+    for i in range(n, 2 * n + 1):
+        s = t_ref[i : i + 1, :] + carry
+        res.append(s & 0xFFFF)
+        carry = s >> 16
+    return _cond_sub_rows(res[:n], p_limbs, n)
+
+
+def _cond_sub_rows(rows, p_limbs, n):
+    borrow = jnp.zeros_like(rows[0])
+    d = []
+    for i in range(n):
+        di = rows[i] - p_limbs[i : i + 1, :] - borrow
+        d.append(di & 0xFFFF)
+        borrow = di >> 31
+    rr = jnp.concatenate(rows, axis=0)
+    dd = jnp.concatenate(d, axis=0)
+    return jnp.where(borrow == 0, dd, rr)
+
+
+def _add_rows(a, b, p_limbs, n, tb):
+    """(n, TB) canonical + canonical -> canonical."""
+    carry = jnp.zeros((1, tb), jnp.uint32)
+    rows = []
+    for i in range(n):
+        s = a[i : i + 1, :] + b[i : i + 1, :] + carry
+        rows.append(s & 0xFFFF)
+        carry = s >> 16
+    return _cond_sub_rows(rows, p_limbs, n)
+
+
+def _sub_rows(a, b, p_limbs, n, tb):
+    borrow = jnp.zeros((1, tb), jnp.uint32)
+    carry = jnp.zeros((1, tb), jnp.uint32)
+    d_rows, s_rows = [], []
+    for i in range(n):
+        di = a[i : i + 1, :] - b[i : i + 1, :] - borrow
+        dl = di & 0xFFFF
+        borrow = di >> 31
+        s = dl + p_limbs[i : i + 1, :] + carry
+        s_rows.append(s & 0xFFFF)
+        carry = s >> 16
+        d_rows.append(dl)
+    dd = jnp.concatenate(d_rows, axis=0)
+    ss = jnp.concatenate(s_rows, axis=0)
+    return jnp.where(borrow == 1, ss, dd)
+
+
+def _propagate_rows(a, n, tb):
+    """(n, TB) lazy rows (< 2^17) -> canonical limb rows (value preserved,
+    must fit n limbs)."""
+    carry = jnp.zeros((1, tb), jnp.uint32)
+    rows = []
+    for i in range(n):
+        s = a[i : i + 1, :] + carry
+        rows.append(s & 0xFFFF)
+        carry = s >> 16
+    return jnp.concatenate(rows, axis=0)
+
+
+def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref, c0_ref, c1_ref,
+                   t_ref, *, n, tb, n0):
+    """Fused Karatsuba Fp2 multiply: 3 Montgomery products + combination in
+    ONE kernel launch (replaces 2 adds + 1 stacked mul + 3 subs)."""
+    a0 = jnp.transpose(a0_ref[:], (1, 0))
+    a1 = jnp.transpose(a1_ref[:], (1, 0))
+    b0 = jnp.transpose(b0_ref[:], (1, 0))
+    b1 = jnp.transpose(b1_ref[:], (1, 0))
+    p_limbs = p_ref[:]
+    # operand sums: lazy a0+a1 has limbs < 2^17 -> normalize so conv products
+    # stay exact (value < 2m < R is fine for the Montgomery bound)
+    asum = _propagate_rows(a0 + a1, n, tb)
+    bsum = _propagate_rows(b0 + b1, n, tb)
+    v0 = _conv_reduce(t_ref, a0, b0, p_limbs, n, tb, n0)
+    v1 = _conv_reduce(t_ref, a1, b1, p_limbs, n, tb, n0)
+    v2 = _conv_reduce(t_ref, asum, bsum, p_limbs, n, tb, n0)
+    c0 = _sub_rows(v0, v1, p_limbs, n, tb)
+    c1 = _sub_rows(_sub_rows(v2, v0, p_limbs, n, tb), v1, p_limbs, n, tb)
+    c0_ref[:] = jnp.transpose(c0, (1, 0))
+    c1_ref[:] = jnp.transpose(c1, (1, 0))
+
+
 class FieldKernels:
     """Pallas kernel set for one ModField."""
 
@@ -165,3 +264,40 @@ class FieldKernels:
             lambda tile: functools.partial(_sub_kernel, n=self.n, tb=tile),
             a, b, scratch=False,
         )
+
+    def fp2_mul(self, a0, a1, b0, b1):
+        """Fused Karatsuba Fp2 product -> (c0, c1); operands (..., n) with a
+        common broadcastable shape."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n = self.n
+        shape = jnp.broadcast_shapes(a0.shape, a1.shape, b0.shape, b1.shape)
+        ops = [jnp.broadcast_to(x, shape).reshape(-1, n) for x in (a0, a1, b0, b1)]
+        lead = shape[:-1]
+        bsz = ops[0].shape[0]
+        tile = (
+            self.tile
+            if bsz >= self.tile
+            else max(8, 1 << max(bsz - 1, 0).bit_length())
+        )
+        pad = (-bsz) % tile
+        if pad:
+            ops = [jnp.pad(x, ((0, pad), (0, 0))) for x in ops]
+        total = ops[0].shape[0]
+        vec_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        c0, c1 = pl.pallas_call(
+            functools.partial(_fp2mul_kernel, n=n, tb=tile, n0=self.n0),
+            grid=(total // tile,),
+            in_specs=[vec_spec] * 4
+            + [pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+            out_specs=(vec_spec, vec_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((total, n), jnp.uint32),
+                jax.ShapeDtypeStruct((total, n), jnp.uint32),
+            ),
+            scratch_shapes=[pltpu.VMEM((2 * n + 8, tile), jnp.uint32)],
+        )(*ops, jnp.asarray(self.p_col))
+        if pad:
+            c0, c1 = c0[:bsz], c1[:bsz]
+        return c0.reshape(lead + (n,)), c1.reshape(lead + (n,))

@@ -118,9 +118,24 @@ def fp2_conj(a):
     return (a[0], FP.neg(a[1]))
 
 def fp2_mul_pairs(pairs):
-    """k independent Fp2 products: ONE stacked FP.mul of 3k limb products
-    plus 4 stacked add/sub calls (Karatsuba)."""
+    """k independent Fp2 products (Karatsuba).  On TPU this is ONE fused
+    Pallas kernel; the portable path is one stacked FP.mul of 3k limb
+    products plus 4 stacked add/sub calls."""
     k = len(pairs)
+    if FP._use_pallas():
+        shape = pairs[0][0][0].shape
+        for a, b in pairs:
+            shape = jnp.broadcast_shapes(
+                shape, a[0].shape, a[1].shape, b[0].shape, b[1].shape
+            )
+        def stk(sel):
+            return jnp.stack([jnp.broadcast_to(sel(p), shape) for p in pairs])
+        a0 = stk(lambda p: p[0][0])
+        a1 = stk(lambda p: p[0][1])
+        b0 = stk(lambda p: p[1][0])
+        b1 = stk(lambda p: p[1][1])
+        c0, c1 = FP.kernels.fp2_mul(a0, a1, b0, b1)
+        return [(c0[i], c1[i]) for i in range(k)]
     shape = pairs[0][0][0].shape
     for a, b in pairs:
         shape = jnp.broadcast_shapes(shape, a[0].shape, a[1].shape, b[0].shape, b[1].shape)
@@ -353,6 +368,45 @@ def fp12_sqr(a):
     c0 = fp6_sub(fp6_sub(t, v0), fp6_mul_v(v0))
     c1 = fp6_add(v0, v0)
     return (c0, c1)
+
+def fp12_cyclotomic_sqr(f):
+    """Granger-Scott squaring for cyclotomic-subgroup elements: 9 Fp2
+    squares (one stacked call) + stacked combinations — half the multiplies
+    of a generic fp12_sqr.  Mirrors golden fp12_cyclotomic_sqr."""
+    a, b = f
+    z = (a[0], b[1], b[0], a[2], a[1], b[2])
+    sums = fp2_add_many([(z[0], z[1]), (z[2], z[3]), (z[4], z[5])])
+    sq = fp2_sqr_many([z[0], z[1], z[2], z[3], z[4], z[5]] + sums)
+    # fp4 squares: c0 = t0 + xi t1, c1 = (a+b)^2 - t0 - t1
+    xi_t1 = fp2_mul_xi_many([sq[1], sq[3], sq[5]])
+    t00 = fp2_add(sq[0], xi_t1[0])
+    t20 = fp2_add(sq[2], xi_t1[1])
+    t40 = fp2_add(sq[4], xi_t1[2])
+    subs = fp2_sub_many([
+        (sq[6], fp2_add(sq[0], sq[1])),
+        (sq[7], fp2_add(sq[2], sq[3])),
+        (sq[8], fp2_add(sq[4], sq[5])),
+    ])
+    t01, t21, t41 = subs
+
+    def m3m2(t, zz):  # 3t - 2z
+        r = fp2_sub(t, zz)
+        r = fp2_add(r, r)
+        return fp2_add(r, t)
+
+    def p3p2(t, zz):  # 3t + 2z
+        r = fp2_add(t, zz)
+        r = fp2_add(r, r)
+        return fp2_add(r, t)
+
+    z0n = m3m2(t00, z[0])
+    z1n = p3p2(t01, z[1])
+    z2n = p3p2(fp2_mul_xi(t41), z[2])
+    z3n = m3m2(t40, z[3])
+    z4n = m3m2(t20, z[4])
+    z5n = p3p2(t21, z[5])
+    return ((z0n, z4n, z3n), (z2n, z1n, z5n))
+
 
 def fp12_conj(a):
     return (a[0], fp6_neg(a[1]))

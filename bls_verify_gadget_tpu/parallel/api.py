@@ -16,7 +16,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; experimental path for older versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops import curve as CV
@@ -55,7 +59,7 @@ def sharded_verify(bls, mesh, pk_aff, sig_aff, msg_u8, msg_len: int):
         mesh=mesh,
         in_specs=specs_in,
         out_specs=P(batch_axis),
-        check_rep=False,
+        check_vma=False,
     )
     def run(pk, sig, msg):
         return bls.verify(pk, sig, msg, msg_len)
@@ -68,7 +72,7 @@ def _sharded_point_sum(ops, mesh, pts):
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec,), out_specs=_pt_spec_unbatched(ops),
-        check_rep=False,
+        check_vma=False,
     )
     def run(p):
         local = CV.pt_sum(ops, p, axis=0)
@@ -106,7 +110,7 @@ def sharded_masked_aggregate(mesh, pk_jac, bitmap):
         mesh=mesh,
         in_specs=(pt_spec, P(batch_axis)),
         out_specs=(_pt_spec_unbatched(CV.FP_OPS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def fold(pk, bits):
         inf = CV.pt_infinity_like(CV.FP_OPS, pk)

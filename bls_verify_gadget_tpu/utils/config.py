@@ -10,13 +10,29 @@ import os
 class Config:
     # use the fused Pallas kernels on TPU backends (jnp fallback elsewhere)
     use_pallas: bool = os.environ.get("BLS_TPU_USE_PALLAS", "auto") != "0"
-    # pallas modmul tile width (lane axis)
-    pallas_tile: int = int(os.environ.get("BLS_TPU_PALLAS_TILE", "256"))
+    # pallas modmul tile width (lane axis); >=1024 minimises grid-step
+    # overhead for the batch sizes the bench uses
+    pallas_tile: int = int(os.environ.get("BLS_TPU_PALLAS_TILE", "1024"))
     # verify-time subgroup checks (the reference always checks natively,
     # src/bls.rs:438-447; exposed as a flag for callers that pre-validate)
     check_subgroups: bool = True
     # default message length for jit signatures
     msg_len: int = 32
+    # static run-structured ladders (scalar mul / Miller / exp chains):
+    # "auto" enables them on TPU backends only — they cut kernel launches
+    # ~2.5x at runtime but inflate XLA CPU compile times badly
+    static_ladders: str = os.environ.get("BLS_TPU_STATIC_LADDERS", "auto")
 
 
 config = Config()
+
+
+def use_static_ladders() -> bool:
+    if config.static_ladders == "auto":
+        import jax
+
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return config.static_ladders not in ("0", "false", "off")

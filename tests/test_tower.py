@@ -86,6 +86,22 @@ def test_fp12_ops():
         assert got == [GF.fp12_frob(x, p) for x in a12], f"frob {p}"
 
 
+def test_fp12_cyclotomic_sqr():
+    """GS squaring == generic squaring on cyclotomic-subgroup elements."""
+    fs = []
+    for _ in range(B):
+        f = (
+            tuple((rng.randrange(C.P), rng.randrange(C.P)) for _ in range(3)),
+            tuple((rng.randrange(C.P), rng.randrange(C.P)) for _ in range(3)),
+        )
+        f1 = GF.fp12_mul(GF.fp12_frob(f, 6), GF.fp12_inv(f))
+        fs.append(GF.fp12_mul(GF.fp12_frob(f1, 2), f1))
+    da = enc12(fs)
+    got = dec12(jax.jit(T.fp12_cyclotomic_sqr)(da))
+    assert got == [GF.fp12_sqr(f) for f in fs]
+    assert [GF.fp12_cyclotomic_sqr(f) for f in fs] == [GF.fp12_sqr(f) for f in fs]
+
+
 def test_fp12_sparse_mul_by_014():
     from bls_verify_gadget_tpu.ops.pairing import fp12_mul_by_014
 
