@@ -225,3 +225,23 @@ def fast_aggregate_verify(pks, msg: bytes, sig) -> bool:
     if apk is None:
         raise InvalidPublicKey("empty pubkey set")
     return verify(apk, msg, sig)
+
+
+def aggregate_verify(pks, msgs, sig) -> bool:
+    """Distinct-message aggregate verification (IETF BLS AggregateVerify):
+    e(-g1, sig) * prod_i e(pk_i, H(m_i)) == 1.  Net-new API surface vs the
+    reference (which only has the same-message fast aggregate)."""
+    from . import pairing as pr
+
+    if not pks or len(pks) != len(msgs):
+        raise InvalidPublicKey("empty or mismatched pubkey/message sets")
+    for pk in pks:
+        if pk is None:
+            raise InvalidPublicKey("identity public key")
+        if not (cv.g1_is_on_curve(pk) and cv.g1_in_subgroup(pk)):
+            raise InvalidPublicKey("pk fails curve/subgroup check")
+    if sig is not None and not (cv.g2_is_on_curve(sig) and cv.g2_in_subgroup(sig)):
+        raise InvalidSignature("sig fails curve/subgroup check")
+    g1s = [cv.g1_neg(G1_GEN)] + list(pks)
+    g2s = [sig] + [hash_to_g2(m) for m in msgs]
+    return F.fp12_is_one(pr.multi_pairing(g1s, g2s))

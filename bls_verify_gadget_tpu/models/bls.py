@@ -112,6 +112,56 @@ class BatchedBLS:
         paired_one = T.fp12_is_one(prod)
         return paired_one & pk_ok & sig_ok
 
+    def aggregate_verify_distinct(self, pk_aff, sig_aff, msg_u8, msg_len: int):
+        """Distinct-message aggregate verification (IETF AggregateVerify):
+        n pubkeys sign n messages, one aggregated signature.
+
+        pk_aff: (x, y, inf) batched over the n pubkeys;
+        sig_aff: single aggregated G2 signature with leading dim 1;
+        msg_u8: (n, msg_len).
+
+        Uses the batch axis for the n+1 pairing pairs — ONE shared Miller
+        loop over the batch, an fp12 product tree, one final exponentiation.
+        Returns a scalar boolean."""
+        pk_x, pk_y, pk_inf = pk_aff
+        sig_x, sig_y, sig_inf = sig_aff
+
+        pk_jac = CV.pt_from_affine(CV.FP_OPS, pk_x, pk_y, pk_inf)
+        pk_ok = jnp.all(
+            ~pk_inf
+            & CV.pt_on_curve_affine(CV.FP_OPS, pk_x, pk_y, CV.B_G1_MONT)
+            & CV.g1_in_subgroup(pk_jac)
+        )
+        sig_jac = CV.pt_from_affine(CV.FP2_OPS, sig_x, sig_y, sig_inf)
+        sig_ok = jnp.all(
+            sig_inf
+            | (
+                CV.pt_on_curve_affine(CV.FP2_OPS, sig_x, sig_y, CV.B_G2_MONT)
+                & CV.g2_in_subgroup(sig_jac)
+            )
+        )
+
+        h_jac = hash_to_g2(msg_u8, msg_len)
+        h_x, h_y, h_inf = CV.pt_to_affine(CV.FP2_OPS, h_jac)
+
+        # pairs: (pk_i, H(m_i)) for each i, plus (-g1, sig) appended
+        def cat(a, b):
+            return jnp.concatenate([a, jnp.broadcast_to(b, b.shape)], axis=0)
+
+        neg_g1y = FP.neg(self.params.g1_y)
+        p_all_x = cat(pk_x, self.params.g1_x[None])
+        p_all_y = cat(pk_y, neg_g1y[None])
+        q_all_x = (cat(h_x[0], sig_x[0][:1]), cat(h_x[1], sig_x[1][:1]))
+        q_all_y = (cat(h_y[0], sig_y[0][:1]), cat(h_y[1], sig_y[1][:1]))
+        valid = jnp.concatenate([~h_inf, ~sig_inf[:1]], axis=0)
+
+        f = PR.multi_miller_loop([
+            ((p_all_x, p_all_y), (q_all_x, q_all_y), valid)
+        ])
+        total = T.fp12_prod(f, axis=0)
+        prod = PR.final_exponentiation(total)
+        return T.fp12_is_one(prod) & pk_ok & sig_ok
+
     # ------------------------------------------------------------------
     # aggregation
     # ------------------------------------------------------------------

@@ -198,6 +198,20 @@ def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref, c0_ref, c1_ref,
     c1_ref[:] = jnp.transpose(c1, (1, 0))
 
 
+def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, c0_ref, c1_ref, t_ref, *, n, tb, n0):
+    """Fused Fp2 square: (a0+a1)(a0-a1) and 2 a0 a1 in ONE launch."""
+    a0 = jnp.transpose(a0_ref[:], (1, 0))
+    a1 = jnp.transpose(a1_ref[:], (1, 0))
+    p_limbs = p_ref[:]
+    s = _propagate_rows(a0 + a1, n, tb)          # < 2m, limbs canonical
+    d = _sub_rows(a0, a1, p_limbs, n, tb)        # canonical
+    re = _conv_reduce(t_ref, s, d, p_limbs, n, tb, n0)
+    m = _conv_reduce(t_ref, a0, a1, p_limbs, n, tb, n0)
+    im = _add_rows(m, m, p_limbs, n, tb)
+    c0_ref[:] = jnp.transpose(re, (1, 0))
+    c1_ref[:] = jnp.transpose(im, (1, 0))
+
+
 class FieldKernels:
     """Pallas kernel set for one ModField."""
 
@@ -265,15 +279,24 @@ class FieldKernels:
             a, b, scratch=False,
         )
 
+    def fp2_sqr(self, a0, a1):
+        """Fused Fp2 square -> (c0, c1)."""
+        return self._fp2_call(
+            _fp2sqr_kernel, [a0, a1]
+        )
+
     def fp2_mul(self, a0, a1, b0, b1):
         """Fused Karatsuba Fp2 product -> (c0, c1); operands (..., n) with a
         common broadcastable shape."""
+        return self._fp2_call(_fp2mul_kernel, [a0, a1, b0, b1])
+
+    def _fp2_call(self, kernel, operands):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         n = self.n
-        shape = jnp.broadcast_shapes(a0.shape, a1.shape, b0.shape, b1.shape)
-        ops = [jnp.broadcast_to(x, shape).reshape(-1, n) for x in (a0, a1, b0, b1)]
+        shape = jnp.broadcast_shapes(*[x.shape for x in operands])
+        ops = [jnp.broadcast_to(x, shape).reshape(-1, n) for x in operands]
         lead = shape[:-1]
         bsz = ops[0].shape[0]
         tile = (
@@ -287,9 +310,9 @@ class FieldKernels:
         total = ops[0].shape[0]
         vec_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
         c0, c1 = pl.pallas_call(
-            functools.partial(_fp2mul_kernel, n=n, tb=tile, n0=self.n0),
+            functools.partial(kernel, n=n, tb=tile, n0=self.n0),
             grid=(total // tile,),
-            in_specs=[vec_spec] * 4
+            in_specs=[vec_spec] * len(ops)
             + [pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)],
             out_specs=(vec_spec, vec_spec),
             out_shape=(

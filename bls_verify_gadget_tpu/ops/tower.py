@@ -157,13 +157,17 @@ def fp2_mul(a, b):
     return fp2_mul_pairs([(a, b)])[0]
 
 def fp2_sqr_many(elems):
-    """k independent Fp2 squares: one stacked FP.mul of 2k products."""
+    """k independent Fp2 squares: one fused Pallas launch on TPU, else one
+    stacked FP.mul of 2k products."""
     k = len(elems)
     shape = elems[0][0].shape
     for a in elems:
         shape = jnp.broadcast_shapes(shape, a[0].shape, a[1].shape)
     a0 = jnp.stack([jnp.broadcast_to(a[0], shape) for a in elems])
     a1 = jnp.stack([jnp.broadcast_to(a[1], shape) for a in elems])
+    if FP._use_pallas():
+        c0, c1 = FP.kernels.fp2_sqr(a0, a1)
+        return [(c0[i], c1[i]) for i in range(k)]
     s = FP.add(a0, a1)
     d = FP.sub(a0, a1)
     A = jnp.concatenate([s, a0], axis=0)
@@ -429,6 +433,35 @@ def fp12_frob(a, power):
 
 def fp12_cmov(cond, a, b):
     return (fp6_cmov(cond, a[0], b[0]), fp6_cmov(cond, a[1], b[1]))
+
+
+def fp12_prod(f, axis: int = 0):
+    """Product of Fp12 elements along a leading batch axis (halving tree),
+    used by distinct-message aggregate verification to combine per-pair
+    Miller accumulators before one shared final exponentiation."""
+    def take(x, sl):
+        return jax.tree.map(lambda c: c[sl], x)
+
+    import jax
+
+    n = f[0][0][0].shape[axis]
+    cur = f
+    m = n
+    while m > 1:
+        half = m // 2
+        sl_a = (slice(None),) * axis + (slice(0, half),)
+        sl_b = (slice(None),) * axis + (slice(half, 2 * half),)
+        prod = fp12_mul(take(cur, sl_a), take(cur, sl_b))
+        if m % 2:
+            tail = take(cur, (slice(None),) * axis + (slice(2 * half, m),))
+            prod = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=axis), prod, tail
+            )
+            m = half + 1
+        else:
+            m = half
+        cur = prod
+    return take(cur, (slice(None),) * axis + (0,))
 
 def fp12_is_one(a):
     one = fp12_one_like(a)

@@ -70,3 +70,23 @@ def test_stacked_shapes():
         out = KFP.mul(ax, ay)
     got = FP.decode(np.asarray(out).reshape(k * B, C.NLIMB))
     assert got == [(x * y) % C.P for x, y in zip(xs, ys)]
+
+
+def test_fp2_kernels_interpret():
+    """Fused fp2 mul/sqr kernels vs golden."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 66
+    a2 = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    b2 = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    a0 = jnp.asarray(FP.encode([x[0] for x in a2]))
+    a1 = jnp.asarray(FP.encode([x[1] for x in a2]))
+    b0 = jnp.asarray(FP.encode([x[0] for x in b2]))
+    b1 = jnp.asarray(FP.encode([x[1] for x in b2]))
+    with pltpu.force_tpu_interpret_mode():
+        c0, c1 = KFP.fp2_mul(a0, a1, b0, b1)
+        s0, s1 = KFP.fp2_sqr(a0, a1)
+    got = list(zip(FP.decode(np.asarray(c0)), FP.decode(np.asarray(c1))))
+    assert got == [GF.fp2_mul(x, y) for x, y in zip(a2, b2)]
+    gots = list(zip(FP.decode(np.asarray(s0)), FP.decode(np.asarray(s1))))
+    assert gots == [GF.fp2_sqr(x) for x in a2]

@@ -32,6 +32,36 @@ def _build(msg, pk, sig):
     return cs, ok
 
 
+def test_aggregate_verify_circuit():
+    """Bitmap aggregate + in-circuit verify (reference's 512-key test at
+    src/constraints.rs:394-419; n=32 here for CI speed — the 512-key config
+    is recorded in BASELINE.md)."""
+    import random
+
+    from bls_verify_gadget_tpu.r1cs.gadgets import Boolean
+
+    rng = random.Random(5)
+    n = 32
+    sks = [rng.randrange(1, 2**200) for _ in range(n)]
+    pks = [gbls.sk_to_pk(s) for s in sks]
+    bits = [1, 1] + [0] * (n - 2)
+    agg_sig = gbls.sign(sks[0] + sks[1], MSG)
+    cs = ConstraintSystem()
+    pkvs = [PublicKeyVar.alloc(cs, p) for p in pks]
+    bvs = [Boolean.alloc(cs, b) for b in bits]
+    ok, count = G.aggregate_verify(
+        cs,
+        ParametersVar.constant(cs),
+        pkvs,
+        bvs,
+        [UInt8.alloc(cs, b) for b in MSG],
+        SignatureVar.alloc(cs, agg_sig),
+    )
+    assert ok.value == 1
+    assert count.value == 2
+    assert cs.is_satisfied(), cs.which_unsatisfied()
+
+
 def test_verify_circuit_true_and_false():
     pk = gbls.sk_to_pk(SK)
     sig = gbls.sign(SK, MSG)
