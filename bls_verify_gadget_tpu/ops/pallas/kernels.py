@@ -198,6 +198,69 @@ def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref, c0_ref, c1_ref,
     c1_ref[:] = jnp.transpose(c1, (1, 0))
 
 
+def _fp2_mul_rows(t_ref, a0, a1, b0, b1, p_limbs, n, tb, n0):
+    """Karatsuba Fp2 product on transposed (n, TB) rows -> (c0, c1)."""
+    asum = _propagate_rows(a0 + a1, n, tb)
+    bsum = _propagate_rows(b0 + b1, n, tb)
+    v0 = _conv_reduce(t_ref, a0, b0, p_limbs, n, tb, n0)
+    v1 = _conv_reduce(t_ref, a1, b1, p_limbs, n, tb, n0)
+    v2 = _conv_reduce(t_ref, asum, bsum, p_limbs, n, tb, n0)
+    c0 = _sub_rows(v0, v1, p_limbs, n, tb)
+    c1 = _sub_rows(_sub_rows(v2, v0, p_limbs, n, tb), v1, p_limbs, n, tb)
+    return c0, c1
+
+
+def _fp6mul_kernel(*refs, n, tb, n0):
+    """Fused Fp6 product: 6 Fp2 Karatsuba products (18 Montgomery muls) +
+    the Toom combination, ONE launch.
+
+    refs: a00,a01,a10,a11,a20,a21, b00,b01,b10,b11,b20,b21, p,
+          c00,c01,c10,c11,c20,c21, scratch
+    (aIJ = Fp6 coefficient I, Fp2 coordinate J)."""
+    ins = refs[:12]
+    p_ref = refs[12]
+    outs = refs[13:19]
+    t_ref = refs[19]
+    A = [jnp.transpose(r[:], (1, 0)) for r in ins[:6]]
+    B = [jnp.transpose(r[:], (1, 0)) for r in ins[6:12]]
+    p_limbs = p_ref[:]
+
+    def f2mul(ai, bi):
+        return _fp2_mul_rows(
+            t_ref, A[2 * ai], A[2 * ai + 1], B[2 * bi], B[2 * bi + 1],
+            p_limbs, n, tb, n0,
+        )
+
+    def f2mul_sum(ai, aj, bi, bj):
+        # (a_i + a_j) * (b_i + b_j) with lazy sums normalised first
+        s0 = _propagate_rows(A[2 * ai] + A[2 * aj], n, tb)
+        s1 = _propagate_rows(A[2 * ai + 1] + A[2 * aj + 1], n, tb)
+        u0 = _propagate_rows(B[2 * bi] + B[2 * bj], n, tb)
+        u1 = _propagate_rows(B[2 * bi + 1] + B[2 * bj + 1], n, tb)
+        return _fp2_mul_rows(t_ref, s0, s1, u0, u1, p_limbs, n, tb, n0)
+
+    def add2(x, y):
+        return (_add_rows(x[0], y[0], p_limbs, n, tb), _add_rows(x[1], y[1], p_limbs, n, tb))
+
+    def sub2(x, y):
+        return (_sub_rows(x[0], y[0], p_limbs, n, tb), _sub_rows(x[1], y[1], p_limbs, n, tb))
+
+    def xi2(x):
+        return (_sub_rows(x[0], x[1], p_limbs, n, tb), _add_rows(x[0], x[1], p_limbs, n, tb))
+
+    v0 = f2mul(0, 0)
+    v1 = f2mul(1, 1)
+    v2 = f2mul(2, 2)
+    t12 = f2mul_sum(1, 2, 1, 2)
+    t01 = f2mul_sum(0, 1, 0, 1)
+    t02 = f2mul_sum(0, 2, 0, 2)
+    c0 = add2(v0, xi2(sub2(t12, add2(v1, v2))))
+    c1 = add2(sub2(t01, add2(v0, v1)), xi2(v2))
+    c2 = add2(sub2(t02, add2(v0, v2)), v1)
+    for out_ref, rows in zip(outs, [c0[0], c0[1], c1[0], c1[1], c2[0], c2[1]]):
+        out_ref[:] = jnp.transpose(rows, (1, 0))
+
+
 def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, c0_ref, c1_ref, t_ref, *, n, tb, n0):
     """Fused Fp2 square: (a0+a1)(a0-a1) and 2 a0 a1 in ONE launch."""
     a0 = jnp.transpose(a0_ref[:], (1, 0))
@@ -284,6 +347,44 @@ class FieldKernels:
         return self._fp2_call(
             _fp2sqr_kernel, [a0, a1]
         )
+
+    def fp6_mul(self, a_coords, b_coords):
+        """Fused Fp6 product: a_coords/b_coords are 6 limb tensors each
+        (coefficient-major (c0.c0, c0.c1, c1.c0, c1.c1, c2.c0, c2.c1));
+        returns 6 output tensors in the same layout."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n = self.n
+        operands = list(a_coords) + list(b_coords)
+        shape = jnp.broadcast_shapes(*[x.shape for x in operands])
+        ops = [jnp.broadcast_to(x, shape).reshape(-1, n) for x in operands]
+        lead = shape[:-1]
+        bsz = ops[0].shape[0]
+        tile = (
+            self.tile
+            if bsz >= self.tile
+            else max(8, 1 << max(bsz - 1, 0).bit_length())
+        )
+        pad = (-bsz) % tile
+        if pad:
+            ops = [jnp.pad(x, ((0, pad), (0, 0))) for x in ops]
+        total = ops[0].shape[0]
+        vec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            functools.partial(_fp6mul_kernel, n=n, tb=tile, n0=self.n0),
+            grid=(total // tile,),
+            in_specs=[vec] * 12
+            + [pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+            out_specs=tuple([vec] * 6),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((total, n), jnp.uint32) for _ in range(6)
+            ),
+            scratch_shapes=[pltpu.VMEM((2 * n + 8, tile), jnp.uint32)],
+        )(*ops, jnp.asarray(self.p_col))
+        if pad:
+            outs = [o[:bsz] for o in outs]
+        return [o.reshape(lead + (n,)) for o in outs]
 
     def fp2_mul(self, a0, a1, b0, b1):
         """Fused Karatsuba Fp2 product -> (c0, c1); operands (..., n) with a

@@ -262,9 +262,34 @@ def fp6_neg(a):
     return tuple(r)
 
 def fp6_mul_pairs(pairs):
-    """k independent Fp6 products (Toom-style 6-mul schedule), fully
-    stacked: 1 FP.mul of 18k products + ~8 stacked add/sub calls."""
+    """k independent Fp6 products (Toom-style 6-mul schedule).  On TPU this
+    is ONE fused Pallas launch (18 Montgomery products + combination); the
+    portable path stacks into 1 FP.mul of 18k products + ~8 stacked
+    add/sub calls."""
     k = len(pairs)
+    from ..utils.config import config
+
+    # NOTE: the whole-Fp6 fused kernel works (tests/test_pallas.py) but each
+    # pallas_call site embeds its large Mosaic IR, and with ~10 sites in the
+    # Miller scan body the XLA module grows past the remote compile helper's
+    # memory budget (observed SIGKILL at a 26.7 MB module).  Off by default
+    # until kernel IR is deduplicated across sites.
+    if FP._use_pallas() and config.fuse_fp6:
+        shape = pairs[0][0][0][0].shape
+        for a, b in pairs:
+            for e in (*a, *b):
+                shape = jnp.broadcast_shapes(shape, e[0].shape, e[1].shape)
+
+        def stk(sel):
+            return jnp.stack([jnp.broadcast_to(sel(p), shape) for p in pairs])
+
+        a_coords = [stk(lambda p, i=i, j=j: p[0][i][j]) for i in range(3) for j in range(2)]
+        b_coords = [stk(lambda p, i=i, j=j: p[1][i][j]) for i in range(3) for j in range(2)]
+        o = FP.kernels.fp6_mul(a_coords, b_coords)
+        return [
+            ((o[0][i], o[1][i]), (o[2][i], o[3][i]), (o[4][i], o[5][i]))
+            for i in range(k)
+        ]
     # operand sums: per pair, [a1+a2, a0+a1, a0+a2] and same for b
     sum_jobs = []
     for a, b in pairs:
