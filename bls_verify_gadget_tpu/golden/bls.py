@@ -227,6 +227,33 @@ def fast_aggregate_verify(pks, msg: bytes, sig) -> bool:
     return verify(apk, msg, sig)
 
 
+def gt_to_bytes(f) -> bytes:
+    """Serialize a pairing output (Fp12 element) as 12 x 48 big-endian bytes
+    (coefficients in tower order c0.c0.c0, c0.c0.c1, ..., c1.c2.c1)."""
+    out = bytearray()
+    for c6 in f:
+        for c2 in c6:
+            for c in c2:
+                out += int(c).to_bytes(48, "big")
+    return bytes(out)
+
+
+def gt_from_bytes(data: bytes):
+    """Inverse of gt_to_bytes; validates field-element ranges."""
+    if len(data) != 576:
+        raise ValueError("GT encoding must be 576 bytes")
+    vals = []
+    for i in range(12):
+        v = int.from_bytes(data[48 * i : 48 * i + 48], "big")
+        if v >= P:
+            raise ValueError("coefficient out of range")
+        vals.append(v)
+    return (
+        ((vals[0], vals[1]), (vals[2], vals[3]), (vals[4], vals[5])),
+        ((vals[6], vals[7]), (vals[8], vals[9]), (vals[10], vals[11])),
+    )
+
+
 def aggregate_verify(pks, msgs, sig) -> bool:
     """Distinct-message aggregate verification (IETF BLS AggregateVerify):
     e(-g1, sig) * prod_i e(pk_i, H(m_i)) == 1.  Net-new API surface vs the

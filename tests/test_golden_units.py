@@ -95,3 +95,17 @@ def test_pairing_bilinearity():
     assert e == GF.fp12_pow(base, 77)
     assert not GF.fp12_is_one(base)
     assert GF.fp12_is_one(GF.fp12_pow(base, C.R))
+
+
+def test_gt_serialization_roundtrip():
+    e = gp.pairing(C.G1_GEN, gc.g2_mul(C.G2_GEN, 5))
+    data = bls.gt_to_bytes(e)
+    assert len(data) == 576
+    assert bls.gt_from_bytes(data) == e
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bls.gt_from_bytes(data[:-1])
+    bad = (C.P).to_bytes(48, "big") + data[48:]
+    with _pytest.raises(ValueError):
+        bls.gt_from_bytes(bad)
