@@ -128,11 +128,11 @@ class Fp2Var:
 
     def sgn0(self) -> Boolean:
         """RFC 9380 sgn0 m=2 (reference src/hasher.rs:520-530): parity of c0,
-        or parity of c1 when c0 == 0.  Parity extraction decomposes the
-        canonical value into bits."""
+        or parity of c1 when c0 == 0.  Uses canonical (< p enforced) bit
+        decompositions so the parity bit is sound."""
         cs = self.cs
-        b0 = self.c0.to_bits_le(381)
-        b1 = self.c1.to_bits_le(381)
+        b0 = self.c0.to_bits_le_canonical()
+        b1 = self.c1.to_bits_le_canonical()
         z0 = self.c0.is_zero()
         return Boolean(
             cs,

@@ -133,7 +133,9 @@ class FpVar:
 
     def to_bits_le(self, nbits: int) -> list["Boolean"]:
         """Decompose into nbits booleans, enforcing sum b_i 2^i == self.
-        Caller must know the value fits in nbits."""
+        Caller must know the value fits in nbits.  NOTE: not canonical —
+        for values with a second representation mod p use
+        to_bits_le_canonical."""
         cs, m = self.cs, self.cs.field_mod
         bits = []
         v = self.value
@@ -144,6 +146,26 @@ class FpVar:
             bits.append(b)
             lc = _merge(lc, b.lc, 1, (1 << i) % m, mod=m)
         cs.enforce(lc, [(0, 1)], self.lc)
+        return bits
+
+    def to_bits_le_canonical(self) -> list["Boolean"]:
+        """Full 381-bit decomposition with an enforced value < p check, so
+        exactly one witness satisfies it (parity extraction is sound —
+        matching ark-r1cs-std's canonical to_bits_le semantics)."""
+        cs, m = self.cs, self.cs.field_mod
+        bits = self.to_bits_le(m.bit_length())
+        # big-endian walk: prefix_eq tracks "all higher bits equal p's";
+        # where p has a 0-bit, a set bit under prefix_eq would mean > p;
+        # at the end prefix_eq == 1 would mean == p.  Both are forbidden.
+        prefix = Boolean.constant(cs, 1)
+        for i in range(m.bit_length() - 1, -1, -1):
+            b = bits[i]
+            if (m >> i) & 1:
+                prefix = prefix.and_(b)
+            else:
+                # prefix * b == 0
+                cs.enforce(prefix.lc, b.lc, [])
+        cs.enforce(prefix.lc, [(0, 1)], [])
         return bits
 
 

@@ -40,11 +40,34 @@ def _big_sigma(w: UInt32, r1, r2, r3):
 
 
 def _ch(e, f, g):
-    return e.and_(f).xor(e.not_().and_(g))
+    """ch(e,f,g) = e ? f : g — one select row per bit (vs 3 rows for the
+    literal and/xor form)."""
+    bits = [eb.select_bool(fb, gb) for eb, fb, gb in zip(e.bits, f.bits, g.bits)]
+    from .gadgets import UInt32 as U
+
+    return U(e.cs, bits, (e.value & f.value) ^ (~e.value & g.value))
 
 
 def _maj(a, b, c):
-    return a.and_(b).xor(a.and_(c)).xor(b.and_(c))
+    """maj per bit via t = b*c; maj = t + a*(b + c - 2t) — 2 rows per bit
+    (vs 5 for the and/xor form)."""
+    from .gadgets import Boolean, UInt32 as U
+
+    cs = a.cs
+    m = cs.field_mod
+    out_bits = []
+    for ab, bb, cb in zip(a.bits, b.bits, c.bits):
+        t = bb.and_(cb)
+        # s = b + c - 2t  (0/1-valued), maj = t + a*s
+        from .gadgets import _merge
+
+        s_lc = _merge(_merge(bb.lc, cb.lc, mod=m), t.lc, 1, -2, mod=m)
+        s_val = (bb.value + cb.value - 2 * t.value) % m
+        maj_val = (t.value + ab.value * s_val) % m
+        w = cs.new_witness((maj_val - t.value) % m)
+        cs.enforce(ab.lc, s_lc, [(w, 1)])
+        out_bits.append(Boolean(cs, _merge(t.lc, [(w, 1)], mod=m), maj_val))
+    return U(a.cs, out_bits, (a.value & b.value) ^ (a.value & c.value) ^ (b.value & c.value))
 
 
 def _compress(cs, state, block_words):
