@@ -58,6 +58,34 @@ def sk_from_bytes(data: bytes) -> int:
     return v
 
 
+def sk_from_hex(s: str) -> int:
+    """Hex codec for the little-endian scalar encoding (reference
+    TryFrom<&str> for PrivateKey, src/bls.rs:79-86)."""
+    return sk_from_bytes(bytes.fromhex(s.removeprefix("0x")))
+
+
+def sk_to_hex(sk: int) -> str:
+    return sk_to_bytes(sk).hex()
+
+
+def pk_from_hex(s: str):
+    """48-byte compressed hex -> G1 point (reference src/bls.rs:218-236)."""
+    return g1_decompress(bytes.fromhex(s.removeprefix("0x")))
+
+
+def pk_to_hex(pt) -> str:
+    return g1_compress(pt).hex()
+
+
+def sig_from_hex(s: str):
+    """96-byte compressed hex -> G2 point (reference src/bls.rs:315-333)."""
+    return g2_decompress(bytes.fromhex(s.removeprefix("0x")))
+
+
+def sig_to_hex(pt) -> str:
+    return g2_compress(pt).hex()
+
+
 # ----------------------------------------------------------------------------
 # point compression (ZCash/ETH2 format)
 # ----------------------------------------------------------------------------

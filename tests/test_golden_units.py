@@ -109,3 +109,12 @@ def test_gt_serialization_roundtrip():
     bad = (C.P).to_bytes(48, "big") + data[48:]
     with _pytest.raises(ValueError):
         bls.gt_from_bytes(bad)
+
+
+def test_hex_codecs():
+    sk, pk = bls.keygen(random.Random(123))
+    assert bls.sk_from_hex(bls.sk_to_hex(sk)) == sk
+    assert bls.pk_from_hex(bls.pk_to_hex(pk)) == pk
+    sig = bls.sign(sk, b"hex")
+    assert bls.sig_from_hex(bls.sig_to_hex(sig)) == sig
+    assert bls.pk_from_hex("0x" + bls.pk_to_hex(pk)) == pk
