@@ -66,3 +66,22 @@ def test_device_sign_matches_vectors():
     pts = CV.g2_decode(sig)
     for (sk, msg, want), pt in zip(cases, pts):
         assert gbls.g2_compress(pt) == want
+
+
+def test_device_sign_edge_scalars():
+    """Zero key flagged invalid; sk = r-1 matches golden."""
+    from bls_verify_gadget_tpu.models.bls import encode_scalars
+    from bls_verify_gadget_tpu.ops import curve as CV
+    from bls_verify_gadget_tpu import constants as C
+
+    msg = b"\xab" * 32
+    sks = [0, C.R - 1, 12345]
+    bls_m = BatchedBLS()
+    sig, ok = jax.jit(lambda s, m: bls_m.sign(s, m, 32))(
+        encode_scalars(sks), encode_messages([msg] * 3)
+    )
+    oks = [bool(b) for b in np.asarray(ok)]
+    assert oks == [False, True, True]
+    pts = CV.g2_decode(sig)
+    for sk, pt in zip(sks[1:], pts[1:]):
+        assert pt == gbls.sign(sk, msg)
