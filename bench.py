@@ -53,6 +53,16 @@ def main():
     best = min(times)
     throughput = args.batch / best
 
+    # roofline: count logical field ops by abstract-tracing the pipeline
+    # (utils/profiling.count_ops — no device work), then express the
+    # measured throughput as sustained Fp-mul-equivalents/s.
+    from bls_verify_gadget_tpu.utils.profiling import count_ops
+
+    with count_ops() as ctr:
+        jax.eval_shape(lambda p, s, m: bls.verify(p, s, m, MSG_LEN), pk, sig, msg)
+    fpmul_per_verify = ctr.fp_mul_equivalent() / args.batch
+    sustained_fpmul_s = fpmul_per_verify * throughput
+
     print(
         json.dumps(
             {
@@ -63,6 +73,8 @@ def main():
                 "batch": args.batch,
                 "steady_state_s": round(best, 4),
                 "compile_plus_first_run_s": round(compile_and_first, 1),
+                "roofline_fpmul_per_verify": round(fpmul_per_verify),
+                "roofline_sustained_fpmul_per_s": round(sustained_fpmul_s),
                 "device": str(jax.devices()[0]),
             }
         )

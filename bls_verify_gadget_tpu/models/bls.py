@@ -24,6 +24,8 @@ from ..ops import tower as T
 from ..ops import curve as CV
 from ..ops import pairing as PR
 from ..ops.hash_to_g2 import hash_to_g2
+from ..utils.config import config
+from ..utils.profiling import named_scope
 
 
 @dataclasses.dataclass
@@ -72,6 +74,50 @@ class BatchedBLS:
     # verify
     # ------------------------------------------------------------------
 
+    def hash_stage(self, msg_u8, msg_len: int):
+        """Stage 1 of verify: h = hash_to_g2(msg) as affine coordinates
+        (for the mixed-addition Miller loop).  Split out so callers that
+        need compile-lean programs (parallel/api.py staged sharding) can
+        jit the stages separately."""
+        with named_scope("bls_hash_to_g2"):
+            h_jac = hash_to_g2(msg_u8, msg_len)
+            return CV.pt_to_affine(CV.FP2_OPS, h_jac)
+
+    def pairing_stage(self, pk_aff, sig_aff, h_aff):
+        """Stage 2 of verify: validity checks + the pairing product test
+        against a precomputed affine h = hash_to_g2(msg)."""
+        pk_x, pk_y, pk_inf = pk_aff
+        sig_x, sig_y, sig_inf = sig_aff
+        h_x, h_y, h_inf = h_aff
+
+        # validity checks (the reference errors; we mask to False)
+        with named_scope("bls_validity_checks"):
+            pk_jac = CV.pt_from_affine(CV.FP_OPS, pk_x, pk_y, pk_inf)
+            sig_jac = CV.pt_from_affine(CV.FP2_OPS, sig_x, sig_y, sig_inf)
+            pk_ok = ~pk_inf & CV.pt_on_curve_affine(
+                CV.FP_OPS, pk_x, pk_y, CV.B_G1_MONT
+            )
+            sig_on_curve = CV.pt_on_curve_affine(
+                CV.FP2_OPS, sig_x, sig_y, CV.B_G2_MONT
+            )
+            sig_ok = sig_inf | sig_on_curve
+            if config.check_subgroups:
+                pk_ok &= CV.g1_in_subgroup(pk_jac)
+                sig_ok &= sig_inf | CV.g2_in_subgroup(sig_jac)
+
+        # e(-g1, sig) * e(pk, h) == 1
+        with named_scope("bls_pairing"):
+            neg_g1 = (
+                jnp.broadcast_to(self.params.g1_x, pk_x.shape),
+                FP.neg(jnp.broadcast_to(self.params.g1_y, pk_y.shape)),
+            )
+            prod = PR.multi_pairing([
+                (neg_g1, (sig_x, sig_y), ~sig_inf),
+                ((pk_x, pk_y), (h_x, h_y), ~h_inf),
+            ])
+            paired_one = T.fp12_is_one(prod)
+        return paired_one & pk_ok & sig_ok
+
     def verify(self, pk_aff, sig_aff, msg_u8, msg_len: int):
         """Batched verification.
 
@@ -81,36 +127,13 @@ class BatchedBLS:
 
         Returns a boolean tensor (...,).  Semantics (reference
         src/bls.rs:427-458): identity pk -> False; pk/sig failing
-        on-curve/subgroup -> False; else the pairing product test."""
-        pk_x, pk_y, pk_inf = pk_aff
-        sig_x, sig_y, sig_inf = sig_aff
-
-        # validity checks (the reference errors; we mask to False)
-        pk_jac = CV.pt_from_affine(CV.FP_OPS, pk_x, pk_y, pk_inf)
-        sig_jac = CV.pt_from_affine(CV.FP2_OPS, sig_x, sig_y, sig_inf)
-        pk_ok = (
-            ~pk_inf
-            & CV.pt_on_curve_affine(CV.FP_OPS, pk_x, pk_y, CV.B_G1_MONT)
-            & CV.g1_in_subgroup(pk_jac)
+        on-curve/subgroup -> False; else the pairing product test.
+        `config.check_subgroups=False` skips the (expensive) subgroup
+        checks for callers that pre-validate inputs (the reference always
+        checks natively, src/bls.rs:438-447)."""
+        return self.pairing_stage(
+            pk_aff, sig_aff, self.hash_stage(msg_u8, msg_len)
         )
-        sig_on_curve = CV.pt_on_curve_affine(CV.FP2_OPS, sig_x, sig_y, CV.B_G2_MONT)
-        sig_ok = sig_inf | (sig_on_curve & CV.g2_in_subgroup(sig_jac))
-
-        # h = hash_to_g2(msg), to affine for the mixed-addition Miller loop
-        h_jac = hash_to_g2(msg_u8, msg_len)
-        h_x, h_y, h_inf = CV.pt_to_affine(CV.FP2_OPS, h_jac)
-
-        # e(-g1, sig) * e(pk, h) == 1
-        neg_g1 = (
-            jnp.broadcast_to(self.params.g1_x, pk_x.shape),
-            FP.neg(jnp.broadcast_to(self.params.g1_y, pk_y.shape)),
-        )
-        prod = PR.multi_pairing([
-            (neg_g1, (sig_x, sig_y), ~sig_inf),
-            ((pk_x, pk_y), (h_x, h_y), ~h_inf),
-        ])
-        paired_one = T.fp12_is_one(prod)
-        return paired_one & pk_ok & sig_ok
 
     def aggregate_verify_distinct(self, pk_aff, sig_aff, msg_u8, msg_len: int):
         """Distinct-message aggregate verification (IETF AggregateVerify):

@@ -81,6 +81,17 @@ class ModField:
         except Exception:
             return False
 
+    def _record(self, kind: str, a, b):
+        """Trace-time op accounting (utils/profiling.count_ops): counts the
+        number of logical scalar field ops = broadcasted batch elements."""
+        from ..utils import profiling
+
+        if profiling._active_counter is not None:
+            shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+            profiling.record(
+                f"{kind}_{self.nlimb}", int(np.prod(shape, dtype=np.int64))
+            )
+
     # ------------------------------------------------------------------
     # host conversions
     # ------------------------------------------------------------------
@@ -150,6 +161,7 @@ class ModField:
     def add(self, a, b):
         """a + b mod m in ONE fused scan: carry-propagate the sum and
         subtract m with borrow in the same pass, then select."""
+        self._record("add", a, b)
         if self._use_pallas():
             return self.kernels.add(a, b)
         shape = jnp.broadcast_shapes(a.shape, b.shape)
@@ -174,6 +186,7 @@ class ModField:
     def sub(self, a, b):
         """a - b mod m in ONE fused scan: subtract with borrow and add m
         with carry in the same pass, then select on the final borrow."""
+        self._record("sub", a, b)
         if self._use_pallas():
             return self.kernels.sub(a, b)
         shape = jnp.broadcast_shapes(a.shape, b.shape)
@@ -209,6 +222,7 @@ class ModField:
         On TPU backends the fused Pallas kernel replaces this whole pipeline
         with a single dispatch (ops/pallas/kernels.py).
         """
+        self._record("mul", a, b)
         if self._use_pallas():
             return self.kernels.mul(a, b)
         n = self.nlimb

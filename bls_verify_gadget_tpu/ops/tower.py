@@ -269,11 +269,11 @@ def fp6_mul_pairs(pairs):
     k = len(pairs)
     from ..utils.config import config
 
-    # NOTE: the whole-Fp6 fused kernel works (tests/test_pallas.py) but each
-    # pallas_call site embeds its large Mosaic IR, and with ~10 sites in the
-    # Miller scan body the XLA module grows past the remote compile helper's
-    # memory budget (observed SIGKILL at a 26.7 MB module).  Off by default
-    # until kernel IR is deduplicated across sites.
+    # The loop-form kernel rewrite (ops/pallas/kernels.py) keeps each
+    # pallas_call site's Mosaic IR small enough that ~10 sites in the Miller
+    # scan body no longer blow the remote compile helper's memory budget
+    # (the unrolled form hit SIGKILL at a 26.7 MB module), so this is on by
+    # default (utils/config.py fuse_fp6).
     if FP._use_pallas() and config.fuse_fp6:
         shape = pairs[0][0][0][0].shape
         for a, b in pairs:

@@ -5,6 +5,8 @@ is single-host rayon, Cargo.toml:67)."""
 
 from .mesh import make_mesh, batch_axis  # noqa: F401
 from .api import (  # noqa: F401
+    make_sharded_verify,
+    make_sharded_verify_staged,
     sharded_verify,
     sharded_aggregate_pubkeys,
     sharded_aggregate_signatures,

@@ -45,15 +45,17 @@ def _gather_fold(ops, partial):
     return CV.pt_sum(ops, gathered, axis=0)
 
 
-def sharded_verify(bls, mesh, pk_aff, sig_aff, msg_u8, msg_len: int):
-    """Batch-verify sharded over the mesh.  All batch leading dims must be
-    divisible by the mesh size."""
+def make_sharded_verify(bls, mesh, msg_len: int):
+    """One jit-compiled batch-verify sharded over the mesh; call it as many
+    times as needed with same-shaped batches without recompiling.  All batch
+    leading dims must be divisible by the mesh size."""
     specs_in = (
         (P(batch_axis), P(batch_axis), P(batch_axis)),
         ((P(batch_axis), P(batch_axis)), (P(batch_axis), P(batch_axis)), P(batch_axis)),
         P(batch_axis),
     )
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -64,7 +66,50 @@ def sharded_verify(bls, mesh, pk_aff, sig_aff, msg_u8, msg_len: int):
     def run(pk, sig, msg):
         return bls.verify(pk, sig, msg, msg_len)
 
-    return run(pk_aff, sig_aff, msg_u8)
+    return run
+
+
+def sharded_verify(bls, mesh, pk_aff, sig_aff, msg_u8, msg_len: int):
+    """Batch-verify sharded over the mesh (one-shot convenience form)."""
+    return make_sharded_verify(bls, mesh, msg_len)(pk_aff, sig_aff, msg_u8)
+
+
+def make_sharded_verify_staged(bls, mesh, msg_len: int):
+    """Stage-wise sharded batch-verify: hash_to_g2 and the pairing test as
+    TWO shard_mapped programs chained through device arrays.
+
+    Same semantics and shardings as make_sharded_verify, but each XLA
+    program is less than half the size — single-program XLA CPU compile
+    time is superlinear in graph size, so the staged form cold-compiles
+    several times faster, and the returned callable's `.stages` tuple lets
+    callers pre-compile both programs concurrently (XLA releases the GIL).
+    Used by the driver dryrun (__graft_entry__.dryrun_multichip)."""
+    coord = P(batch_axis)
+    pk_spec = (coord, coord, coord)
+    g2_spec = ((coord, coord), (coord, coord), coord)
+    h_spec = ((coord, coord), (coord, coord), coord)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(coord,), out_specs=h_spec,
+        check_vma=False,
+    )
+    def hash_fn(msg):
+        return bls.hash_stage(msg, msg_len)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(pk_spec, g2_spec, h_spec),
+        out_specs=coord, check_vma=False,
+    )
+    def pair_fn(pk, sig, h):
+        return bls.pairing_stage(pk, sig, h)
+
+    def run(pk_aff, sig_aff, msg_u8):
+        return pair_fn(pk_aff, sig_aff, hash_fn(msg_u8))
+
+    run.stages = (hash_fn, pair_fn)
+    return run
 
 
 def _sharded_point_sum(ops, mesh, pts):

@@ -8,6 +8,7 @@ role of ark-r1cs-std G1Var/G2Var + scalar_mul_le
 
 from __future__ import annotations
 
+from .. import constants as C
 from .gadgets import FpVar, Boolean
 from .fields import Fp2Var
 from .system import AllocationMode
@@ -155,21 +156,25 @@ def g2_clear_cofactor(p: AffinePointVar) -> AffinePointVar:
 
 
 def alloc_g1(cs, pt, mode=AllocationMode.WITNESS) -> AffinePointVar:
-    """Host affine int point (or None) -> G1 gadget."""
+    """Host affine int point (or None) -> G1 gadget.
+
+    Finite allocations enforce y^2 == x^3 + 4 (arkworks allocates SW points
+    with an on-curve check; soundness of the hinted-slope pairing gadget
+    relies on it — an off-curve (0, 0) would zero the doubling denominator
+    and leave the slope hint unconstrained, tests/test_r1cs_adversarial.py)."""
     if pt is None:
         return pt_infinity(FpVar.constant(cs, 0))
-    return AffinePointVar(
-        FpVar.alloc(cs, pt[0], mode),
-        FpVar.alloc(cs, pt[1], mode),
-        Boolean.constant(cs, 0),
-    )
+    x = FpVar.alloc(cs, pt[0], mode)
+    y = FpVar.alloc(cs, pt[1], mode)
+    (y.square() - FpVar.constant(cs, C.B_G1)).enforce_equal(x.square() * x)
+    return AffinePointVar(x, y, Boolean.constant(cs, 0))
 
 
 def alloc_g2(cs, pt, mode=AllocationMode.WITNESS) -> AffinePointVar:
+    """As alloc_g1, enforcing the twist equation y^2 == x^3 + 4(1+u)."""
     if pt is None:
         return pt_infinity(Fp2Var.constant(cs, (0, 0)))
-    return AffinePointVar(
-        Fp2Var.alloc(cs, pt[0], mode),
-        Fp2Var.alloc(cs, pt[1], mode),
-        Boolean.constant(cs, 0),
-    )
+    x = Fp2Var.alloc(cs, pt[0], mode)
+    y = Fp2Var.alloc(cs, pt[1], mode)
+    (y.square() - Fp2Var.constant(cs, C.B_G2)).enforce_equal(x.square() * x)
+    return AffinePointVar(x, y, Boolean.constant(cs, 0))

@@ -60,8 +60,9 @@ class PublicKeyVar:
         return both_inf.or_(both_fin.and_(eq_xy))
 
     def to_bytes_le(self) -> list[UInt8]:
-        """ToBytesGadget flavour (reference src/constraints.rs:281-297):
-        little-endian x then y coordinate bytes."""
+        """ToBytesGadget flavour (reference src/constraints.rs:281-297,
+        arkworks affine to_bytes): little-endian x bytes, then y bytes, then
+        one infinity byte (0/1) — 97 bytes total."""
         cs = self.pt.cs
         out = []
         for coord in (self.pt.x, self.pt.y):
@@ -70,6 +71,9 @@ class PublicKeyVar:
                 byte_bits = bits[8 * i : 8 * i + 8]
                 val = sum(b.value << j for j, b in enumerate(byte_bits))
                 out.append(UInt8(cs, byte_bits, val))
+        zero = Boolean.constant(cs, 0)
+        inf = self.pt.inf
+        out.append(UInt8(cs, [inf] + [zero] * 7, inf.value))
         return out
 
 
