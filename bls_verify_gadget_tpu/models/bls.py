@@ -62,10 +62,10 @@ class BatchedBLS:
         )
         return CV.pt_mul_var(CV.FP_OPS, gen, sk_limbs, 255)
 
-    def sign(self, sk_limbs, msg_u8, msg_len: int):
+    def sign(self, sk_limbs, msg_u8, msg_len: int, msg_lens=None):
         """-> (sig Jacobian G2, valid mask).  Zero keys yield valid=False
         (reference rejects them, src/bls.rs:417-419)."""
-        h = hash_to_g2(msg_u8, msg_len)
+        h = hash_to_g2(msg_u8, msg_len, lens=msg_lens)
         sig = CV.pt_mul_var(CV.FP2_OPS, h, sk_limbs, 255)
         nonzero = ~jnp.all(sk_limbs == 0, axis=-1)
         return sig, nonzero
@@ -74,13 +74,14 @@ class BatchedBLS:
     # verify
     # ------------------------------------------------------------------
 
-    def hash_stage(self, msg_u8, msg_len: int):
+    def hash_stage(self, msg_u8, msg_len: int, msg_lens=None):
         """Stage 1 of verify: h = hash_to_g2(msg) as affine coordinates
         (for the mixed-addition Miller loop).  Split out so callers that
         need compile-lean programs (parallel/api.py staged sharding) can
-        jit the stages separately."""
+        jit the stages separately.  `msg_lens` (per-element byte lengths)
+        enables mixed-length batches; msg_len is then the padded width."""
         with named_scope("bls_hash_to_g2"):
-            h_jac = hash_to_g2(msg_u8, msg_len)
+            h_jac = hash_to_g2(msg_u8, msg_len, lens=msg_lens)
             return CV.pt_to_affine(CV.FP2_OPS, h_jac)
 
     def pairing_stage(self, pk_aff, sig_aff, h_aff):
@@ -118,12 +119,14 @@ class BatchedBLS:
             paired_one = T.fp12_is_one(prod)
         return paired_one & pk_ok & sig_ok
 
-    def verify(self, pk_aff, sig_aff, msg_u8, msg_len: int):
+    def verify(self, pk_aff, sig_aff, msg_u8, msg_len: int, msg_lens=None):
         """Batched verification.
 
         pk_aff  = (x, y, is_inf): affine G1 limb tensors + infinity mask
         sig_aff = (x2, y2, is_inf): affine G2 (Fp2 pairs) + infinity mask
         msg_u8  = (..., msg_len) byte tensor
+        msg_lens = optional (...,) per-element byte lengths for
+        mixed-length batches (msg_u8 is then padded to msg_len)
 
         Returns a boolean tensor (...,).  Semantics (reference
         src/bls.rs:427-458): identity pk -> False; pk/sig failing
@@ -132,7 +135,7 @@ class BatchedBLS:
         checks for callers that pre-validate inputs (the reference always
         checks natively, src/bls.rs:438-447)."""
         return self.pairing_stage(
-            pk_aff, sig_aff, self.hash_stage(msg_u8, msg_len)
+            pk_aff, sig_aff, self.hash_stage(msg_u8, msg_len, msg_lens)
         )
 
     def aggregate_verify_distinct(self, pk_aff, sig_aff, msg_u8, msg_len: int):
@@ -250,6 +253,22 @@ def encode_messages(msgs):
     return jnp.asarray(
         np.stack([np.frombuffer(m, np.uint8).astype(np.uint32) for m in msgs])
     )
+
+
+def encode_messages_var(msgs, pad_to: int | None = None):
+    """Mixed-length host byte strings -> (msg_u8 (B, L), lens (B,), L):
+    zero-padded to the batch max (or `pad_to`), with the per-element byte
+    lengths that verify/sign/hash_stage take as `msg_lens`.  Bucketing
+    batches by a few pad widths keeps jit signatures few."""
+    import numpy as np
+
+    L = max((len(m) for m in msgs), default=0) if pad_to is None else pad_to
+    assert all(len(m) <= L for m in msgs)
+    buf = np.zeros((len(msgs), L), np.uint32)
+    for i, m in enumerate(msgs):
+        buf[i, : len(m)] = np.frombuffer(m, np.uint8)
+    lens = np.asarray([len(m) for m in msgs], np.uint32)
+    return jnp.asarray(buf), jnp.asarray(lens), L
 
 
 def encode_scalars(sks):

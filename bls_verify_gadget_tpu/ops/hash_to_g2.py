@@ -97,9 +97,17 @@ def _fp2_pow_const(a, exponent: int):
 # expand_message_xmd + hash_to_field (device)
 # ----------------------------------------------------------------------------
 
-def expand_message_xmd(msg_u8, msg_len: int, dst: bytes, len_in_bytes: int):
+def expand_message_xmd(msg_u8, msg_len: int, dst: bytes, len_in_bytes: int,
+                       lens=None):
     """msg_u8: (..., msg_len) byte tensor -> (..., len_in_bytes) byte tensor
-    (RFC 9380 sec 5.3.1; reference circuit version src/hasher.rs:109-173)."""
+    (RFC 9380 sec 5.3.1; reference circuit version src/hasher.rs:109-173).
+
+    With `lens` (a (...,) uint32 tensor of per-element byte lengths <=
+    msg_len), messages of DIFFERENT lengths batch together: only the b0
+    digest depends on the message, so the Z_pad||msg||lib_str||0||DST'
+    buffer is built with masked/gathered bytes and hashed by the
+    variable-length SHA (every element pays the max block count — the
+    static-shape TPU idiom).  The b1..b_ell XOR chain is fixed-size."""
     ell = -(-len_in_bytes // 32)
     assert ell <= 255 and len(dst) <= 255
     dst_prime = dst + bytes([len(dst)])
@@ -112,9 +120,38 @@ def expand_message_xmd(msg_u8, msg_len: int, dst: bytes, len_in_bytes: int):
         )
 
     z_pad = const_bytes(bytes(64))
-    tail0 = const_bytes(len_in_bytes.to_bytes(2, "big") + b"\x00" + dst_prime)
-    msg_prime = jnp.concatenate([z_pad, msg_u8.astype(jnp.uint32), tail0], axis=-1)
-    b0 = sha256_bytes(msg_prime, 64 + msg_len + 3 + len(dst_prime))
+    tail_bytes = len_in_bytes.to_bytes(2, "big") + b"\x00" + dst_prime
+    tail0 = const_bytes(tail_bytes)
+    if lens is None:
+        msg_prime = jnp.concatenate(
+            [z_pad, msg_u8.astype(jnp.uint32), tail0], axis=-1
+        )
+        b0 = sha256_bytes(msg_prime, 64 + msg_len + 3 + len(dst_prime))
+    else:
+        from .sha256 import sha256_bytes_var
+
+        lens = jnp.asarray(lens, jnp.uint32)
+        tlen = len(tail_bytes)
+        total = 64 + msg_len + tlen
+        buf = jnp.concatenate(
+            [z_pad, msg_u8.astype(jnp.uint32),
+             jnp.zeros(batch + (tlen,), jnp.uint32)],
+            axis=-1,
+        )
+        iota = jnp.broadcast_to(
+            jnp.arange(total, dtype=jnp.uint32), batch + (total,)
+        )
+        # the tail starts right after each element's live message bytes
+        t_idx = jnp.clip(
+            iota.astype(jnp.int32) - 64 - lens[..., None].astype(jnp.int32),
+            0, tlen - 1,
+        )
+        tail_vals = jnp.asarray(
+            np.frombuffer(tail_bytes, np.uint8).astype(np.uint32)
+        )[t_idx]
+        in_msg = iota < (64 + lens[..., None])
+        buf = jnp.where(in_msg | (iota < 64), buf, tail_vals)
+        b0 = sha256_bytes_var(buf, 64 + lens + tlen, total)
 
     tail_dst = const_bytes(dst_prime)
     blen = 32 + 1 + len(dst_prime)
@@ -152,12 +189,13 @@ def _bytes_be_to_fp(tv):
     return FP.add(prods[0], prods[1])
 
 
-def hash_to_field_fp2(msg_u8, msg_len: int, count: int = 2, dst: bytes = C.DST_G2):
+def hash_to_field_fp2(msg_u8, msg_len: int, count: int = 2, dst: bytes = C.DST_G2,
+                      lens=None):
     """-> list of count Fp2 elements (device, Montgomery form)
     (reference src/hasher.rs:58-107 semantics, 64 bytes per base element)."""
     m = 2
     lib = count * m * C.L_FIELD
-    uniform = expand_message_xmd(msg_u8, msg_len, dst, lib)
+    uniform = expand_message_xmd(msg_u8, msg_len, dst, lib, lens=lens)
     out = []
     for i in range(count):
         coords = []
@@ -275,9 +313,10 @@ def map_to_curve_g2(u):
     return iso3_map_jacobian(x, y)
 
 
-def hash_to_g2(msg_u8, msg_len: int, dst: bytes = C.DST_G2):
-    """Full batched hash-to-G2 -> Jacobian G2 point (in E2, subgroup)."""
-    u0, u1 = hash_to_field_fp2(msg_u8, msg_len, 2, dst)
+def hash_to_g2(msg_u8, msg_len: int, dst: bytes = C.DST_G2, lens=None):
+    """Full batched hash-to-G2 -> Jacobian G2 point (in E2, subgroup).
+    `lens` enables mixed-length message batches (see expand_message_xmd)."""
+    u0, u1 = hash_to_field_fp2(msg_u8, msg_len, 2, dst, lens=lens)
     q0 = map_to_curve_g2(u0)
     q1 = map_to_curve_g2(u1)
     r = CV.pt_add(CV.FP2_OPS, q0, q1)

@@ -105,6 +105,64 @@ def sha256_bytes(data_u8, msg_len: int):
     return words_to_bytes(digest)
 
 
+def sha256_bytes_var(data_u8, lens, max_len: int):
+    """Variable-length batched SHA-256 with static shapes (TPU idiom: every
+    element pays the max-length block count; padding and the final-state
+    pick are masked/gathered).
+
+    data_u8: (..., max_len) byte values (content beyond each element's
+    length is ignored); lens: (...,) uint32 byte lengths <= max_len.
+    Returns (..., 32) digest bytes."""
+    nb = (max_len + 8) // 64 + 1
+    total = nb * 64
+    batch = data_u8.shape[:-1]
+    lens = jnp.asarray(lens, jnp.uint32)
+    buf = jnp.concatenate(
+        [
+            data_u8.astype(jnp.uint32),
+            jnp.zeros(batch + (total - max_len,), jnp.uint32),
+        ],
+        axis=-1,
+    )
+    iota = jnp.broadcast_to(
+        jnp.arange(total, dtype=jnp.uint32), batch + (total,)
+    )
+    L = lens[..., None]
+    buf = jnp.where(iota < L, buf, 0)
+    buf = jnp.where(iota == L, jnp.uint32(0x80), buf)
+    # per-element final block index and the 8 big-endian bit-length bytes
+    nb_e = (L + 8) // 64 + 1  # blocks actually used
+    pos0 = nb_e * 64 - 8
+    in_len = (iota >= pos0) & (iota < pos0 + 8)
+    shift = jnp.where(in_len, (pos0 + 7 - iota) * 8, 0)
+    # shifts >= 32 are undefined for uint32: those bytes are zero (bitlen
+    # fits 32 bits for any supported message length)
+    lenbyte = jnp.where(
+        shift >= 32, 0, ((L * 8) >> jnp.minimum(shift, 31)) & 0xFF
+    )
+    buf = jnp.where(in_len, lenbyte, buf)
+
+    b = buf.reshape(batch + (nb, 16, 4))
+    words = (
+        (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+    )
+    # run all nb blocks, keep per-block states, gather each element's final
+    xs = jnp.moveaxis(words, -2, 0)
+    state0 = jnp.broadcast_to(_IV, batch + (8,))
+
+    def body(st, blk):
+        st = _compress(st, blk)
+        return st, st
+
+    _, states = jax.lax.scan(body, state0, xs)  # (nb, ..., 8)
+    states = jnp.moveaxis(states, 0, -2)  # (..., nb, 8)
+    sel = ((lens + 8) // 64).astype(jnp.int32)  # final block index, (...,)
+    digest = jnp.take_along_axis(
+        states, sel[..., None, None], axis=-2
+    )[..., 0, :]
+    return words_to_bytes(digest)
+
+
 def words_to_bytes(words):
     """(..., k) uint32 big-endian words -> (..., 4k) byte values (uint32)."""
     b = jnp.stack(
