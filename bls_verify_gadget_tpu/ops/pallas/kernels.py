@@ -165,14 +165,143 @@ def _conv_reduce(a, b, p_limbs, n, tb, n0):
 
 
 # ----------------------------------------------------------------------------
+# MXU-reduction Montgomery multiply (v2)
+#
+# The schoolbook convolution a*b stays on the VPU, but WITHOUT the CIOS
+# per-step reduction: partial products accumulate as lazy lo/hi planes
+# (24 terms of <= 2^16-1 each stay < 2^21, uint32-safe), so the loop body
+# is ~2x leaner than merged CIOS.  The Montgomery reduction then becomes
+# two EXACT bf16 matmuls on the MXU against fixed matrices built from
+# N' = -p^-1 mod R and p itself, in 8-bit limb planes:
+#
+#     m = (T mod R) * N' mod R        -> T8 (tb, 2n) x W1 (2n, 2n)
+#     U = m * p                       -> m8 (tb, 2n) x W2 (2n, 4n)
+#     out = (T + U) / R, cond-sub p
+#
+# Exactness: 8-bit planes give products <= 255^2 and row sums of <= 2n <= 48
+# terms, so every f32 accumulator stays < 2^24 and bf16 inputs (<= 255) are
+# exact — the MXU computes integer convolutions bit-exactly.  Matrix column
+# blocks are ordered [even 8-bit positions | odd positions] so recombination
+# is a shift-add with no lane shuffles.
+# ----------------------------------------------------------------------------
+
+def _mont_matrices(p: int, n: int):
+    """Host-side constant matrices for the MXU reduction (bf16).
+
+    Returns (w1, w2): w1 (2n, 2n) maps T's low-half 8-bit planes (rows
+    ordered [lo8 of each 16-bit limb | hi8]) to the 8-bit columns of
+    m = T_lo * N' mod R (cols ordered [even | odd]); w2 (2n, 4n) maps m's
+    planes to the 8-bit columns of m * p."""
+    R = 1 << (16 * n)
+    nprime = (-pow(p, -1, R)) % R
+    np8 = [(nprime >> (8 * k)) & 0xFF for k in range(2 * n)]
+    p8 = [(p >> (8 * k)) & 0xFF for k in range(2 * n)]
+
+    def pos_in(r):
+        # row r < n: lo8 of limb r (position 2r); else hi8 (position 2r+1)
+        return 2 * r if r < n else 2 * (r - n) + 1
+
+    def build(coeffs, out_positions):
+        w = np.zeros((2 * n, len(out_positions)), np.float32)
+        for r in range(2 * n):
+            pi = pos_in(r)
+            for c, po in enumerate(out_positions):
+                d = po - pi
+                if 0 <= d < len(coeffs):
+                    w[r, c] = coeffs[d]
+        return w.astype(jnp.bfloat16)
+
+    # m: positions 0..2n-1 (mod R truncation), cols [even | odd]
+    w1 = build(np8, [2 * j for j in range(n)] + [2 * j + 1 for j in range(n)])
+    # U = m*p: positions 0..4n-1, cols [even | odd]
+    w2 = build(p8, [2 * j for j in range(2 * n)] + [2 * j + 1 for j in range(2 * n)])
+    return np.asarray(w1), np.asarray(w2)
+
+
+def _conv_lazy(a, b, n, tb):
+    """Schoolbook product of (n, tb) canonical-limb operands as lazy
+    (2n, tb) uint32 rows (each < n * 2^16 < 2^21).  One fori_loop; the
+    accumulator rolls up a row per step so writes stay at fixed offsets."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n2 = 2 * n
+
+    def padz(x, lo, hi):
+        parts = []
+        if lo:
+            parts.append(jnp.zeros((lo, tb), jnp.uint32))
+        parts.append(x)
+        if hi:
+            parts.append(jnp.zeros((hi, tb), jnp.uint32))
+        return jnp.concatenate(parts, axis=0)
+
+    def body(i, carry):
+        acc, a_rot = carry
+        ai = a_rot[0:1, :]
+        prod = ai * b                        # exact: both < 2^16
+        acc = acc + padz(prod & MASK, 0, n) + padz(prod >> 16, 1, n - 1)
+        acc = pltpu.roll(acc, n2 - 1, axis=0)   # logical row i is final
+        a_rot = pltpu.roll(a_rot, n - 1, axis=0)
+        return (acc, a_rot)
+
+    acc0 = jnp.zeros((n2, tb), jnp.uint32)
+    acc, _ = jax.lax.fori_loop(0, n, body, (acc0, a), unroll=False)
+    return pltpu.roll(acc, n, axis=0)        # undo the n roll-ups
+
+
+def _conv_reduce_mxu(a, b, p_limbs, w1, w2, n, tb):
+    """Montgomery product via lazy VPU convolution + MXU reduction.
+    a, b (n, tb) canonical rows (< 2m); returns canonical (n, tb) < m."""
+    f32 = jnp.float32
+    t16 = _ks_carry_rows(_conv_lazy(a, b, n, tb), 2 * n)  # canonical 2n rows
+
+    def planes8(x16):
+        # (k, tb) 16-bit rows -> (2k, tb) rows [lo8 | hi8]
+        return jnp.concatenate([x16 & 0xFF, x16 >> 8], axis=0)
+
+    def mxu(x8_rows, w, out_cols):
+        # Mosaic has no direct u32<->f32 casts; values are small non-negative
+        # integers, so routing through int32 is exact.
+        xt = (
+            jnp.transpose(x8_rows, (1, 0))
+            .astype(jnp.int32)
+            .astype(f32)
+            .astype(jnp.bfloat16)
+        )
+        prod = jax.lax.dot_general(
+            xt, w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (tb, out_cols) exact integers < 2^24
+        even = prod[:, : out_cols // 2].astype(jnp.int32).astype(jnp.uint32)
+        odd = prod[:, out_cols // 2 :].astype(jnp.int32).astype(jnp.uint32)
+        x16 = even + (odd << 8)              # (tb, k) values < 2^30
+        return jnp.transpose(x16, (1, 0))
+
+    m16 = _ks_carry_rows(mxu(planes8(t16[:n]), w1, 2 * n), n)  # m mod R
+    u16 = mxu(planes8(m16), w2, 4 * n)       # (2n, tb) lazy < 2^30
+    s = _ks_carry_rows(t16 + u16, 2 * n)     # low half -> 0, carries up
+    return _cond_sub_rows(s[n:], p_limbs, n)
+
+
+# ----------------------------------------------------------------------------
 # kernels
 # ----------------------------------------------------------------------------
 
-def _mul_kernel(a_ref, b_ref, p_ref, o_ref, *, n, tb, n0):
+def _make_mont(p_ref, w1_ref, w2_ref, *, n, tb, n0, mxu):
+    """Montgomery-product closure over (n, tb) rows for the kernel bodies:
+    either merged CIOS (VPU only) or lazy-conv + MXU reduction."""
+    p_limbs = p_ref[:]
+    if mxu:
+        w1 = w1_ref[:]
+        w2 = w2_ref[:]
+        return p_limbs, lambda a, b: _conv_reduce_mxu(a, b, p_limbs, w1, w2, n, tb)
+    return p_limbs, lambda a, b: _conv_reduce(a, b, p_limbs, n, tb, n0)
+
+
+def _mul_kernel(a_ref, b_ref, p_ref, w1_ref, w2_ref, o_ref, *, n, tb, n0, mxu):
     a = jnp.transpose(a_ref[:], (1, 0))  # (n, TB)
     b = jnp.transpose(b_ref[:], (1, 0))
-    out = _conv_reduce(a, b, p_ref[:], n, tb, n0)
-    o_ref[:] = jnp.transpose(out, (1, 0))
+    _, mont = _make_mont(p_ref, w1_ref, w2_ref, n=n, tb=tb, n0=n0, mxu=mxu)
+    o_ref[:] = jnp.transpose(mont(a, b), (1, 0))
 
 
 def _add_kernel(a_ref, b_ref, p_ref, o_ref, *, n, tb):
@@ -189,64 +318,68 @@ def _sub_kernel(a_ref, b_ref, p_ref, o_ref, *, n, tb):
     o_ref[:] = jnp.transpose(out, (1, 0))
 
 
-def _fp2_mul_rows(a0, a1, b0, b1, p_limbs, n, tb, n0):
+def _fp2_mul_rows(a0, a1, b0, b1, p_limbs, mont, n, tb):
     """Karatsuba Fp2 product on transposed (n, TB) rows -> (c0, c1).
-    Operand sums (< 2m) feed _conv_reduce, whose bound covers them."""
+    Operand sums (< 2m) feed the Montgomery product, whose bound covers
+    them."""
     asum = _propagate_rows(a0 + a1, n, tb)
     bsum = _propagate_rows(b0 + b1, n, tb)
-    v0 = _conv_reduce(a0, b0, p_limbs, n, tb, n0)
-    v1 = _conv_reduce(a1, b1, p_limbs, n, tb, n0)
-    v2 = _conv_reduce(asum, bsum, p_limbs, n, tb, n0)
+    v0 = mont(a0, b0)
+    v1 = mont(a1, b1)
+    v2 = mont(asum, bsum)
     c0 = _sub_rows(v0, v1, p_limbs, n, tb)
     c1 = _sub_rows(_sub_rows(v2, v0, p_limbs, n, tb), v1, p_limbs, n, tb)
     return c0, c1
 
 
-def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref, c0_ref, c1_ref,
-                   *, n, tb, n0):
+def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref, w1_ref, w2_ref,
+                   c0_ref, c1_ref, *, n, tb, n0, mxu):
     """Fused Karatsuba Fp2 multiply: 3 Montgomery products + combination in
     ONE kernel launch."""
     a0 = jnp.transpose(a0_ref[:], (1, 0))
     a1 = jnp.transpose(a1_ref[:], (1, 0))
     b0 = jnp.transpose(b0_ref[:], (1, 0))
     b1 = jnp.transpose(b1_ref[:], (1, 0))
-    c0, c1 = _fp2_mul_rows(a0, a1, b0, b1, p_ref[:], n, tb, n0)
+    p_limbs, mont = _make_mont(p_ref, w1_ref, w2_ref, n=n, tb=tb, n0=n0, mxu=mxu)
+    c0, c1 = _fp2_mul_rows(a0, a1, b0, b1, p_limbs, mont, n, tb)
     c0_ref[:] = jnp.transpose(c0, (1, 0))
     c1_ref[:] = jnp.transpose(c1, (1, 0))
 
 
-def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, c0_ref, c1_ref, *, n, tb, n0):
+def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, w1_ref, w2_ref, c0_ref, c1_ref,
+                   *, n, tb, n0, mxu):
     """Fused Fp2 square: (a0+a1)(a0-a1) and 2 a0 a1 in ONE launch."""
     a0 = jnp.transpose(a0_ref[:], (1, 0))
     a1 = jnp.transpose(a1_ref[:], (1, 0))
-    p_limbs = p_ref[:]
+    p_limbs, mont = _make_mont(p_ref, w1_ref, w2_ref, n=n, tb=tb, n0=n0, mxu=mxu)
     s = _propagate_rows(a0 + a1, n, tb)          # < 2m, limbs canonical
     d = _sub_rows(a0, a1, p_limbs, n, tb)        # canonical
-    re = _conv_reduce(s, d, p_limbs, n, tb, n0)
-    m = _conv_reduce(a0, a1, p_limbs, n, tb, n0)
+    re = mont(s, d)
+    m = mont(a0, a1)
     im = _add_rows(m, m, p_limbs, n, tb)
     c0_ref[:] = jnp.transpose(re, (1, 0))
     c1_ref[:] = jnp.transpose(im, (1, 0))
 
 
-def _fp6mul_kernel(*refs, n, tb, n0):
+def _fp6mul_kernel(*refs, n, tb, n0, mxu):
     """Fused Fp6 product: 6 Fp2 Karatsuba products (18 Montgomery muls) +
     the Toom combination, ONE launch.
 
-    refs: a00,a01,a10,a11,a20,a21, b00,b01,b10,b11,b20,b21, p,
+    refs: a00,a01,a10,a11,a20,a21, b00,b01,b10,b11,b20,b21, p, w1, w2,
           c00,c01,c10,c11,c20,c21
     (aIJ = Fp6 coefficient I, Fp2 coordinate J)."""
     ins = refs[:12]
-    p_ref = refs[12]
-    outs = refs[13:19]
+    outs = refs[15:21]
     A = [jnp.transpose(r[:], (1, 0)) for r in ins[:6]]
     B = [jnp.transpose(r[:], (1, 0)) for r in ins[6:12]]
-    p_limbs = p_ref[:]
+    p_limbs, mont = _make_mont(
+        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
+    )
 
     def f2mul(ai, bi):
         return _fp2_mul_rows(
             A[2 * ai], A[2 * ai + 1], B[2 * bi], B[2 * bi + 1],
-            p_limbs, n, tb, n0,
+            p_limbs, mont, n, tb,
         )
 
     def f2mul_sum(ai, aj, bi, bj):
@@ -255,7 +388,7 @@ def _fp6mul_kernel(*refs, n, tb, n0):
         s1 = _propagate_rows(A[2 * ai + 1] + A[2 * aj + 1], n, tb)
         u0 = _propagate_rows(B[2 * bi] + B[2 * bj], n, tb)
         u1 = _propagate_rows(B[2 * bi + 1] + B[2 * bj + 1], n, tb)
-        return _fp2_mul_rows(s0, s1, u0, u1, p_limbs, n, tb, n0)
+        return _fp2_mul_rows(s0, s1, u0, u1, p_limbs, mont, n, tb)
 
     def add2(x, y):
         return (_add_rows(x[0], y[0], p_limbs, n, tb), _add_rows(x[1], y[1], p_limbs, n, tb))
@@ -283,10 +416,29 @@ class FieldKernels:
     """Pallas kernel set for one ModField."""
 
     def __init__(self, field, tile: int = 512):
+        from ...utils.config import config
+
         self.n = field.nlimb
         self.tile = tile
         self.n0 = int(field.n0)
         self.p_col = np.asarray(field.P_LIMBS).reshape(self.n, 1)
+        self.mxu = config.mxu_reduce
+        self.w1, self.w2 = _mont_matrices(field.modulus, self.n)
+
+    def _mont_inputs(self):
+        """The constant operands every mul-type kernel takes after the
+        vector inputs: p column + the two MXU reduction matrices."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n = self.n
+        specs = [
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n, 2 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n, 4 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        vals = [jnp.asarray(self.p_col), jnp.asarray(self.w1), jnp.asarray(self.w2)]
+        return specs, vals
 
     def _rec(self, muls, addsubs, shape):
         """Trace-time roofline accounting for the fused tower kernels in
@@ -298,7 +450,7 @@ class FieldKernels:
             profiling.record(f"mul_{self.n}", muls * k)
             profiling.record(f"add_{self.n}", addsubs * k)
 
-    def _call(self, kernel_fn, a, b):
+    def _call(self, kernel_fn, a, b, mont_consts=False):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -320,25 +472,33 @@ class FieldKernels:
             aa = jnp.pad(aa, ((0, pad), (0, 0)))
             bb = jnp.pad(bb, ((0, pad), (0, 0)))
         total = aa.shape[0]
+        if mont_consts:
+            const_specs, const_vals = self._mont_inputs()
+        else:
+            const_specs = [
+                pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            ]
+            const_vals = [jnp.asarray(self.p_col)]
         out = pl.pallas_call(
             kernel_fn(tile),
             grid=(total // tile,),
             in_specs=[
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + const_specs,
             out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((total, n), jnp.uint32),
-        )(aa, bb, jnp.asarray(self.p_col))
+        )(aa, bb, *const_vals)
         if pad:
             out = out[:bsz]
         return out.reshape(lead + (n,))
 
     def mul(self, a, b):
         return self._call(
-            lambda tile: functools.partial(_mul_kernel, n=self.n, tb=tile, n0=self.n0),
-            a, b,
+            lambda tile: functools.partial(
+                _mul_kernel, n=self.n, tb=tile, n0=self.n0, mxu=self.mxu
+            ),
+            a, b, mont_consts=True,
         )
 
     def add(self, a, b):
@@ -382,16 +542,18 @@ class FieldKernels:
             ops = [jnp.pad(x, ((0, pad), (0, 0))) for x in ops]
         total = ops[0].shape[0]
         vec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const_specs, const_vals = self._mont_inputs()
         outs = pl.pallas_call(
-            functools.partial(_fp6mul_kernel, n=n, tb=tile, n0=self.n0),
+            functools.partial(
+                _fp6mul_kernel, n=n, tb=tile, n0=self.n0, mxu=self.mxu
+            ),
             grid=(total // tile,),
-            in_specs=[vec] * 12
-            + [pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+            in_specs=[vec] * 12 + const_specs,
             out_specs=tuple([vec] * 6),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((total, n), jnp.uint32) for _ in range(6)
             ),
-        )(*ops, jnp.asarray(self.p_col))
+        )(*ops, *const_vals)
         if pad:
             outs = [o[:bsz] for o in outs]
         return [o.reshape(lead + (n,)) for o in outs]
@@ -423,17 +585,17 @@ class FieldKernels:
             ops = [jnp.pad(x, ((0, pad), (0, 0))) for x in ops]
         total = ops[0].shape[0]
         vec_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const_specs, const_vals = self._mont_inputs()
         c0, c1 = pl.pallas_call(
-            functools.partial(kernel, n=n, tb=tile, n0=self.n0),
+            functools.partial(kernel, n=n, tb=tile, n0=self.n0, mxu=self.mxu),
             grid=(total // tile,),
-            in_specs=[vec_spec] * len(ops)
-            + [pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+            in_specs=[vec_spec] * len(ops) + const_specs,
             out_specs=(vec_spec, vec_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((total, n), jnp.uint32),
                 jax.ShapeDtypeStruct((total, n), jnp.uint32),
             ),
-        )(*ops, jnp.asarray(self.p_col))
+        )(*ops, *const_vals)
         if pad:
             c0, c1 = c0[:bsz], c1[:bsz]
         return c0.reshape(lead + (n,)), c1.reshape(lead + (n,))

@@ -24,6 +24,17 @@ class Config:
     # the remote compile helper's memory budget); measured +12% verify
     # throughput and 3x faster TPU cold compile.
     fuse_fp6: bool = os.environ.get("BLS_TPU_FUSE_FP6", "1") == "1"
+    # MXU Montgomery reduction: the a*b convolution stays on the VPU (lazy
+    # lo/hi accumulation) and the reduction m = T*N' mod R, U = m*p runs as
+    # two exact bf16 matmuls on the systolic array (8-bit limb planes keep
+    # every f32 accumulator < 2^24).  ops/pallas/kernels.py _conv_reduce_mxu.
+    # Default OFF: on v5e the kernel chain is launch-latency-bound (~500us
+    # per dependent launch regardless of arithmetic), so the MXU's compute
+    # win is invisible and the extra planes/transposes measured ~5% SLOWER
+    # than merged CIOS (605 vs 652 us/launch at B=16384) and exceed the
+    # 16 MB scoped-VMEM limit at tile 16384.  Kept flag-gated for chips
+    # where arithmetic, not latency, bounds the chain.
+    mxu_reduce: bool = os.environ.get("BLS_TPU_MXU", "0") == "1"
     # static run-structured ladders (scalar mul / Miller / exp chains):
     # "auto" enables them on TPU backends only — they cut kernel launches
     # ~2.5x at runtime but inflate XLA CPU compile times badly

@@ -72,6 +72,27 @@ def test_stacked_shapes():
     assert got == [(x * y) % C.P for x, y in zip(xs, ys)]
 
 
+def test_mxu_reduction_interpret():
+    """The flag-gated MXU Montgomery reduction (config.mxu_reduce, default
+    off — see utils/config.py for the v5e latency-wall measurements) stays
+    semantically identical to merged CIOS."""
+    K = FieldKernels(FP, tile=128)
+    K.mxu = True
+    B = 66
+    xs, ys = _vals(B, C.P), _vals(B, C.P)
+    edge = [0, 1, C.P - 1, C.P - 2]
+    xs[:4], ys[:4] = edge, [C.P - 1] * 4
+    ax, ay = jnp.asarray(FP.encode(xs)), jnp.asarray(FP.encode(ys))
+    with pltpu.force_tpu_interpret_mode():
+        out = K.mul(ax, ay)
+        c0, c1 = K.fp2_sqr(ax, ay)
+    assert FP.decode(np.asarray(out)) == [(x * y) % C.P for x, y in zip(xs, ys)]
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    gots = list(zip(FP.decode(np.asarray(c0)), FP.decode(np.asarray(c1))))
+    assert gots == [GF.fp2_sqr((x, y)) for x, y in zip(xs, ys)]
+
+
 def test_fp2_kernels_interpret():
     """Fused fp2 mul/sqr kernels vs golden."""
     from bls_verify_gadget_tpu.golden import field as GF
