@@ -19,11 +19,13 @@ def int_to_limbs(x: int, nlimb: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs, nlimb: int) -> np.ndarray:
-    """Sequence of ints -> (len(xs), nlimb) uint32."""
-    out = np.empty((len(xs), nlimb), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        out[i] = int_to_limbs(x, nlimb)
-    return out
+    """Sequence of ints -> (len(xs), nlimb) uint32.  One to_bytes per int
+    (not nlimb shifts) — full-circuit witness encoding is seconds, not
+    minutes."""
+    assert LIMB_BITS == 16
+    buf = b"".join(x.to_bytes(nlimb * 2, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), nlimb)
+    return arr.astype(np.uint32)
 
 
 def limbs_to_int(limbs) -> int:

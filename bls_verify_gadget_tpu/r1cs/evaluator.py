@@ -35,10 +35,17 @@ def encode_witness_batch(batch_assignments) -> np.ndarray:
 
 
 def _encode_coeffs(coeff_obj: np.ndarray) -> np.ndarray:
-    """(R, W) object array of python ints -> (R, W, 24) Montgomery limbs."""
+    """(R, W) object array of python ints -> (R, W, 24) Montgomery limbs.
+    Coefficient values repeat massively (0/1/-1, powers of two, 256^i), so
+    encode each unique value once and scatter — ~1000x less bigint work on
+    full-size circuits."""
     r, w = coeff_obj.shape
     flat = [int(x) if x else 0 for x in coeff_obj.reshape(-1)]
-    return FP.encode(flat).reshape(r, w, C.NLIMB)
+    uniq = sorted(set(flat))
+    lut = {v: i for i, v in enumerate(uniq)}
+    table = FP.encode(uniq)  # (U, 24)
+    idx = np.fromiter((lut[v] for v in flat), np.int64, len(flat))
+    return np.asarray(table)[idx].reshape(r, w, C.NLIMB)
 
 
 def prepare(arrays):
