@@ -54,10 +54,32 @@ def fp12_mul_by_014(f, c0, c1, c4):
     return (fp6_add(v0, fp6_mul_v(v1)), fp6_sub(t, fp6_add(v0, v1)))
 
 
-def _hinted_slope(cs, numer: Fp2Var, denom: Fp2Var) -> Fp2Var:
-    """lambda with lambda * denom == numer enforced."""
+def _hinted_slope(cs, numer: Fp2Var, denom: Fp2Var, nonzero: Boolean | None = None) -> Fp2Var:
+    """lambda with lambda * denom == numer enforced.
+
+    Soundness: if denom != 0 the constraint pins lambda uniquely; if
+    denom == 0 and numer != 0 it is unsatisfiable.  The dangerous case is
+    denom == numer == 0, where lambda would be free.  For DOUBLING steps
+    (denom = 2*y1) that case is unreachable: allocation enforces on-curve
+    (curve.py alloc_g1/g2) and both group orders are odd, so no on-curve
+    point has y == 0 (tests/test_r1cs_adversarial.py).  For ADDITION steps
+    (denom = x2 - x1) a malicious SMALL-ORDER twist point — on-curve but
+    outside the r-subgroup, which the circuit deliberately does not check
+    (reference constraints.rs:101-105) — can drive the Miller accumulator
+    back to T == Q and zero both sides.  Passing the pair's validity bit as
+    `nonzero` closes that: denom * inv == nonzero forces denom invertible
+    whenever the pair is live (matching the reference's enforced-division
+    semantics, arkworks PairingVar) while staying satisfiable for
+    infinity-masked pairs, whose lines are neutralized anyway (~5 rows per
+    addition step)."""
     dval = denom.value
     lam_val = GF.fp2_mul(numer.value, GF.fp2_inv(dval)) if dval != (0, 0) else (0, 0)
+    if nonzero is not None:
+        inv_val = GF.fp2_inv(dval) if dval != (0, 0) else (0, 0)
+        inv = Fp2Var.alloc(cs, inv_val)
+        prod = denom * inv
+        prod.c0.enforce_equal(nonzero.to_fp())
+        prod.c1.enforce_equal(FpVar.constant(cs, 0))
     lam = Fp2Var.alloc(cs, lam_val)
     (lam * denom).enforce_equal(numer)
     return lam
@@ -75,10 +97,10 @@ def _dbl_step(cs, t, xp: FpVar, yp: FpVar):
     return (x3, y3), (c0, c1, c4)
 
 
-def _add_step(cs, t, q, xp: FpVar, yp: FpVar):
+def _add_step(cs, t, q, xp: FpVar, yp: FpVar, valid: Boolean | None = None):
     x1, y1 = t
     x2, y2 = q
-    lam = _hinted_slope(cs, y2 - y1, x2 - x1)
+    lam = _hinted_slope(cs, y2 - y1, x2 - x1, nonzero=valid)
     x3 = lam.square() - x1 - x2
     y3 = lam * (x1 - x3) - y1
     c0 = lam * x2 - y2
@@ -113,7 +135,7 @@ def multi_miller_loop_gadget(cs, pairs):
             tnew, line = _dbl_step(cs, ts[i], p[0], p[1])
             f = fp12_mul_by_014(f, *_neutral(cs, line, valid))
             if bit:
-                tnew, line = _add_step(cs, tnew, q, p[0], p[1])
+                tnew, line = _add_step(cs, tnew, q, p[0], p[1], valid=valid)
                 f = fp12_mul_by_014(f, *_neutral(cs, line, valid))
             new_ts.append(tnew)
         ts = new_ts

@@ -42,6 +42,49 @@ def test_hinted_slope_zero_denominator_unsatisfiable():
         assert not cs.is_satisfied()
 
 
+def test_add_step_t_equals_q_unsatisfiable_when_live():
+    """A small-order twist point (on-curve, outside the r-subgroup — the
+    circuit skips subgroup checks like the reference) can drive the Miller
+    accumulator back to T == Q at an addition step, zeroing BOTH slope sides
+    and freeing lambda.  The strict enforcement denom * inv == valid closes
+    it: with valid=1 and denom=0 the row reads 0 == 1 for every inv/lambda
+    the prover writes."""
+    from bls_verify_gadget_tpu.r1cs.pairing import _add_step
+
+    q_val = ((5, 6), (7, 8))  # exact point irrelevant: only denom = 0 matters
+    cs = ConstraintSystem()
+    x = Fp2Var.alloc(cs, q_val[0])
+    y = Fp2Var.alloc(cs, q_val[1])
+    xp = FpVar.alloc(cs, 3)
+    yp = FpVar.alloc(cs, 4)
+    live = Boolean.constant(cs, 1)
+    base = cs.num_constraints
+    _add_step(cs, (x, y), (x, y), xp, yp, valid=live)  # T == Q
+    assert not cs.is_satisfied()
+    # forging the inverse / lambda witnesses (the last four allocations)
+    # cannot help: denom is structurally 0 while valid is the constant 1
+    for forged in (1, 999):
+        for slot in range(len(cs.assignments) - 4, len(cs.assignments)):
+            cs.assignments[slot] = forged
+        assert not cs.is_satisfied()
+
+
+def test_add_step_infinity_masked_pair_stays_satisfiable():
+    """Completeness side: an infinity-masked pair (valid=0) walks the same
+    ladder with (0,0) coordinates and T == Q at add steps; denom * inv == 0
+    is satisfiable (inv = 0) and the free lambda only feeds lines that
+    _neutral() replaces."""
+    from bls_verify_gadget_tpu.r1cs.pairing import _add_step
+
+    cs = ConstraintSystem()
+    zero = Fp2Var.alloc(cs, (0, 0))
+    xp = FpVar.alloc(cs, 3)
+    yp = FpVar.alloc(cs, 4)
+    dead = Boolean.constant(cs, 0)
+    _add_step(cs, (zero, zero), (zero, zero), xp, yp, valid=dead)
+    assert cs.is_satisfied()
+
+
 def test_alloc_rejects_off_curve_points():
     """Witness allocation enforces the curve equation (arkworks parity), so
     the (0,0)-signature attack that would zero every doubling denominator in
