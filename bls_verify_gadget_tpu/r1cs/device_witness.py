@@ -1,0 +1,236 @@
+"""Device-side (TPU-batched) witness generation for the SHA-256 gadget.
+
+The R1CS builder produces ONE circuit; proving a batch of messages needs a
+batch of witness vectors.  Host generation replays the gadget in python
+ints per element; this module generates the SHA-256 gadget's witness
+segment for a WHOLE batch on device instead: a word-level jnp mirror of
+r1cs/sha256.py's allocation stream (VERDICT r1 task 4 — circuit building
+stays host-side and one-time, witness generation becomes data-parallel).
+
+Design: every witness the gadget allocates is a bit of some 32-bit word of
+the SHA trace, or a {0, 1, p-1} select/choose hint — so the mirror runs
+batched uint32 SHA-256 word arithmetic and emits, in exact allocation
+order, index planes into the 3-entry Montgomery table [0, 1, p-1].
+Constant-folding parity: the gadget skips allocations when operand bits
+are circuit constants (Boolean.xor/and_ fold, select_bool never folds), so
+each mirrored word carries a constant-bit mask and the emission positions
+replicate the fold rules exactly.  tests/test_device_witness.py pins the
+mirror to the gadget differentially.
+
+Reference surface: ark Sha256Gadget (reference src/hasher.rs:19,139) has
+no batched witness path at all — rayon parallelism regenerates per proof.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import SHA256_IV, SHA256_K
+
+_M32 = jnp.uint32(0xFFFFFFFF)
+ALL_CONST = 0xFFFFFFFF
+
+# table indices for witness values
+IDX_ZERO, IDX_ONE, IDX_MINUS_ONE = 0, 1, 2
+
+
+class _Emitter:
+    """Collects (B, k) planes of table indices in allocation order."""
+
+    def __init__(self):
+        self.planes = []
+
+    def bits(self, word, positions):
+        """Emit the given bit positions (ascending) of a (B,) u32 word as
+        0/1 table indices."""
+        if not positions:
+            return
+        pos = jnp.asarray(np.asarray(positions, np.uint32))
+        self.planes.append((word[:, None] >> pos[None, :]) & 1)
+
+    def signed(self, plus_word, minus_word):
+        """Emit 32 per-bit values (plus_bit - minus_bit) in {-1, 0, 1} as
+        table indices {2, 0, 1} (p-1, 0, 1)."""
+        sh = jnp.arange(32, dtype=jnp.uint32)[None, :]
+        p = (plus_word[:, None] >> sh) & 1
+        m = (minus_word[:, None] >> sh) & 1
+        # (p - m): 1 -> 1, 0 -> 0, -1 -> 2
+        self.planes.append(jnp.where(p >= m, p - m, jnp.uint32(IDX_MINUS_ONE)))
+
+    def concat(self):
+        return (
+            jnp.concatenate(self.planes, axis=1)
+            if self.planes
+            else jnp.zeros((0, 0), jnp.uint32)
+        )
+
+
+class _W:
+    """Batched 32-bit word + constant-bit tracking.
+
+    val: (B,) uint32 values (correct for every bit, constant or not);
+    cmask: int, bit i set -> bit i is a circuit constant (same for the
+    whole batch); the constant VALUES are val's (they are batch-uniform
+    on constant bits by construction)."""
+
+    __slots__ = ("val", "cmask")
+
+    def __init__(self, val, cmask: int):
+        self.val = val
+        self.cmask = cmask & ALL_CONST
+
+    def rotr(self, r):
+        r %= 32
+        val = ((self.val >> r) | (self.val << (32 - r))) & _M32
+        cm = ((self.cmask >> r) | (self.cmask << (32 - r))) & ALL_CONST
+        return _W(val, cm)
+
+    def shr(self, s):
+        # top s bits become constant zeros
+        return _W(self.val >> s, (self.cmask >> s) | (ALL_CONST << (32 - s)))
+
+
+def _const_word(batch, v: int):
+    return _W(jnp.full((batch,), v, jnp.uint32), ALL_CONST)
+
+
+def _xor(a: _W, b: _W, em: _Emitter) -> _W:
+    """Boolean.xor parity: allocates exactly where BOTH bits are non-const;
+    result bit is constant iff both are."""
+    alloc = ~a.cmask & ~b.cmask & ALL_CONST
+    out = _W(a.val ^ b.val, a.cmask & b.cmask)
+    em.bits(out.val, [i for i in range(32) if (alloc >> i) & 1])
+    return out
+
+
+def _small_sigma(w: _W, r1, r2, s, em):
+    return _xor(_xor(w.rotr(r1), w.rotr(r2), em), w.shr(s), em)
+
+
+def _big_sigma(w: _W, r1, r2, r3, em):
+    return _xor(_xor(w.rotr(r1), w.rotr(r2), em), w.rotr(r3), em)
+
+
+def _addmany(terms, k_const: int, em: _Emitter) -> _W:
+    """UInt32.addmany parity: allocates 32 output bits + carry bits.
+    k_const is added as an extra constant term (round constants)."""
+    nterms = len(terms) + (1 if k_const is not None else 0)
+    lo = terms[0].val
+    hi = jnp.zeros_like(lo)
+    for t in terms[1:]:
+        s = (lo + t.val) & _M32
+        hi = hi + (s < lo).astype(jnp.uint32)
+        lo = s
+    if k_const is not None:
+        s = (lo + jnp.uint32(k_const)) & _M32
+        hi = hi + (s < lo).astype(jnp.uint32)
+        lo = s
+    em.bits(lo, list(range(32)))
+    carry_bits = max(1, (nterms - 1).bit_length())
+    em.bits(hi, list(range(carry_bits)))
+    return _W(lo, 0)
+
+
+def _ch(e: _W, f: _W, g: _W, em: _Emitter) -> _W:
+    """select_bool per bit: ALWAYS allocates w = ch_bit - g_bit (select_fp
+    never constant-folds)."""
+    ch = (e.val & f.val) ^ (~e.val & g.val)
+    em.signed(ch, g.val)
+    return _W(ch, 0)
+
+
+def _maj(a: _W, b: _W, c: _W, em: _Emitter) -> _W:
+    """_maj parity: per bit, t = b&c allocates iff BOTH bits are non-const
+    (Boolean.and_ folds when either operand is constant); then
+    w = maj - t = maj & ~t (in {0,1}) always allocates.  Emission order is
+    (t?, w) per bit, LSB first."""
+    t = b.val & c.val
+    maj = (a.val & b.val) ^ (a.val & c.val) ^ (b.val & c.val)
+    w = maj & ~t  # maj >= t bitwise, so maj - t == maj & ~t
+    t_alloc = (~b.cmask) & (~c.cmask) & ALL_CONST
+    if t_alloc == ALL_CONST:
+        # steady state (both operands fresh): interleave [t0,w0,t1,w1,...]
+        sh = jnp.arange(32, dtype=jnp.uint32)[None, :]
+        tb = (t[:, None] >> sh) & 1
+        wb = (w[:, None] >> sh) & 1
+        em.planes.append(jnp.stack([tb, wb], axis=-1).reshape(t.shape[0], 64))
+    elif t_alloc == 0:
+        em.bits(w, list(range(32)))
+    else:
+        for i in range(32):
+            if (t_alloc >> i) & 1:
+                em.bits(t, [i])
+            em.bits(w, [i])
+    return _W(maj, 0)
+
+
+def _compress(state, block_words, em):
+    w = list(block_words)
+    for t in range(16, 64):
+        s0 = _small_sigma(w[t - 15], 7, 18, 3, em)
+        s1 = _small_sigma(w[t - 2], 17, 19, 10, em)
+        w.append(_addmany([w[t - 16], s0, w[t - 7], s1], None, em))
+    a, b, c, d, e, f, g, h = state
+    for t in range(64):
+        S1 = _big_sigma(e, 6, 11, 25, em)
+        ch = _ch(e, f, g, em)
+        t1 = _addmany([h, S1, ch, w[t]], SHA256_K[t], em)
+        S0 = _big_sigma(a, 2, 13, 22, em)
+        maj = _maj(a, b, c, em)
+        t2 = _addmany([S0, maj], None, em)
+        h, g, f, e = g, f, e, _addmany([d, t1], None, em)
+        d, c, b, a = c, b, a, _addmany([t1, t2], None, em)
+    return [
+        _addmany([x, y], None, em) for x, y in zip(state, (a, b, c, d, e, f, g, h))
+    ]
+
+
+def sha256_gadget_witness_indices(msgs_u8, msg_len: int):
+    """Mirror of r1cs/sha256.sha256_gadget's witness allocation stream.
+
+    msgs_u8: (B, msg_len) byte values (uint32); the message bytes are
+    assumed to be allocated UInt8 witnesses (as in r1cs/hasher.py), the
+    padding is circuit constants.  Returns (B, W) table indices into
+    [0, 1, p-1] — one column per witness the gadget allocates, in exact
+    allocation order (the gadget's own msg-byte allocations are NOT
+    included; they precede this segment)."""
+    msgs_u8 = jnp.asarray(msgs_u8, jnp.uint32)
+    B = msgs_u8.shape[0]
+    L = msg_len
+    pad = [0x80]
+    while (L + len(pad)) % 64 != 56:
+        pad.append(0)
+    bitlen = L * 8
+    pad += [(bitlen >> (8 * (7 - i))) & 0xFF for i in range(8)]
+
+    # bytes: (value (B,), const flag)
+    byts = [(msgs_u8[:, i], False) for i in range(L)] + [
+        (jnp.full((B,), p, jnp.uint32), True) for p in pad
+    ]
+    em = _Emitter()
+    state = [_const_word(B, iv) for iv in SHA256_IV]
+    for off in range(0, len(byts), 64):
+        words = []
+        for i in range(16):
+            b4 = byts[off + 4 * i : off + 4 * i + 4]
+            val = (b4[0][0] << 24) | (b4[1][0] << 16) | (b4[2][0] << 8) | b4[3][0]
+            cm = 0
+            for k, (_, is_c) in enumerate(b4):  # byte k holds bits 24-8k..31-8k
+                if is_c:
+                    cm |= 0xFF << (24 - 8 * k)
+            words.append(_W(val, cm))
+        state = _compress(state, words, em)
+    return em.concat()
+
+
+def sha256_gadget_witness_limbs(msgs_u8, msg_len: int):
+    """As sha256_gadget_witness_indices, but materialised as Montgomery
+    limb planes (B, W, NLIMB) — the exact segment format
+    r1cs/evaluator.encode_witness_batch produces for these rows."""
+    from ..ops.fp import FP
+    from .. import constants as C
+
+    idx = sha256_gadget_witness_indices(msgs_u8, msg_len)
+    table = jnp.asarray(FP.encode([0, 1, C.P - 1]))  # (3, NLIMB)
+    return table[idx]

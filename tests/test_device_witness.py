@@ -1,0 +1,73 @@
+"""Device-side SHA-256 witness generation vs the gadget's own (host,
+python-int) allocation stream: exact per-witness agreement, in order
+(r1cs/device_witness.py contract)."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from bls_verify_gadget_tpu import constants as C
+from bls_verify_gadget_tpu.r1cs.system import ConstraintSystem
+from bls_verify_gadget_tpu.r1cs.gadgets import UInt8
+from bls_verify_gadget_tpu.r1cs.sha256 import sha256_gadget
+from bls_verify_gadget_tpu.r1cs import device_witness as DW
+
+rng = random.Random(7)
+
+
+def _host_segment(msg: bytes):
+    """Build the gadget, return its witness segment as table indices."""
+    cs = ConstraintSystem()
+    msg_vars = [UInt8.alloc(cs, b) for b in msg]
+    start = len(cs.assignments)
+    out = sha256_gadget(cs, msg_vars)
+    assert cs.is_satisfied()
+    seg = cs.assignments[start:]
+    lut = {0: 0, 1: 1, C.P - 1: 2}
+    assert all(v in lut for v in seg), "unexpected witness value in SHA segment"
+    return [lut[v] for v in seg], bytes(b.value for b in out)
+
+
+def _check_length(L: int, batch: int = 3):
+    msgs = [bytes(rng.randrange(256) for _ in range(L)) for _ in range(batch)]
+    host = [_host_segment(m) for m in msgs]
+    import hashlib
+
+    for (seg, digest), m in zip(host, msgs):
+        assert digest == hashlib.sha256(m).digest()
+    arr = np.zeros((batch, L), np.uint32)
+    for i, m in enumerate(msgs):
+        arr[i, :L] = np.frombuffer(m, np.uint8)
+    idx = np.asarray(DW.sha256_gadget_witness_indices(jnp.asarray(arr), L))
+    assert idx.shape == (batch, len(host[0][0])), (idx.shape, len(host[0][0]))
+    for i, (seg, _) in enumerate(host):
+        assert idx[i].tolist() == seg, f"witness mismatch for element {i} (L={L})"
+
+
+def test_single_block_message():
+    _check_length(24)
+
+
+def test_two_block_message():
+    _check_length(100)
+
+
+def test_xmd_b0_length_three_blocks():
+    # the 64 + msg + 3 + 44-byte DST' buffer hash_to_g2's XMD b0 uses
+    _check_length(135, batch=2)
+
+
+def test_limbs_variant_matches_encoded_assignments():
+    from bls_verify_gadget_tpu.r1cs import evaluator as EV
+
+    msg = bytes(rng.randrange(256) for _ in range(24))
+    cs = ConstraintSystem()
+    msg_vars = [UInt8.alloc(cs, b) for b in msg]
+    start = len(cs.assignments)
+    sha256_gadget(cs, msg_vars)
+    arr = np.frombuffer(msg, np.uint8).astype(np.uint32)[None, :]
+    got = np.asarray(DW.sha256_gadget_witness_limbs(jnp.asarray(arr), 24))[0]
+    want = EV.encode_witness_batch([cs.assignments[start:]])[0]
+    assert got.shape == want.shape
+    assert (got == np.asarray(want)).all()
