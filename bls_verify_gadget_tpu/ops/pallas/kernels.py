@@ -164,6 +164,51 @@ def _conv_reduce(a, b, p_limbs, n, tb, n0):
     return _cond_sub_rows(rows, p_limbs, n)
 
 
+def _conv_reduce_v3(a, b, p_limbs, n, tb, n0):
+    """Merged CIOS with a two-accumulator window (v3).
+
+    Same algorithm as _conv_reduce, restructured so every accumulation is
+    ALIGNED: the lo parts of a_i*b and q*p land on Lr (row k = column i+k)
+    directly, the hi parts collect in a per-step H (row k = column i+k+1),
+    and the window advance merges H + the column-i carry in one shot.  This
+    removes the per-step zero-pad concats and shrinks the window from
+    nw = n+8 padded rows to exactly n, cutting full-width VPU ops per limb
+    step from ~19x(n+8 rows) to ~13x(n rows).  Bit-exact same contract as
+    _conv_reduce: canonical (n, tb) inputs < 2m, canonical output < m."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    zero1 = jnp.zeros((1, tb), jnp.uint32)
+    zt = jnp.zeros((n - 1, tb), jnp.uint32)
+
+    def body(i, carry):
+        Lr, a_rot = carry
+        ai = a_rot[0:1, :]
+        prod = ai * b
+        Lr = Lr + (prod & MASK)
+        t0 = Lr[0:1, :]
+        m = (t0 * n0) & MASK
+        q = m * p_limbs
+        Lr = Lr + (q & MASK)
+        c0 = Lr[0:1, :] >> 16            # column i is 0 mod 2^16 now
+        H = (prod >> 16) + (q >> 16)     # row k -> column i+k+1
+        Lr = (
+            jnp.concatenate([Lr[1:], zero1], axis=0)
+            + H
+            + jnp.concatenate([c0, zt], axis=0)
+        )
+        a_rot = pltpu.roll(a_rot, n - 1, axis=0)
+        return (Lr, a_rot)
+
+    # Lazy bound: Lr rows accumulate <= 2 lo-terms (< 2^16) + 2 hi-terms
+    # (< 2^16) per step across n steps plus carries; every row stays far
+    # below 2^32 because each column is live for only n steps of < 2^18
+    # increments (same bound argument as _conv_reduce's nw window).
+    Lr0 = jnp.zeros((n, tb), jnp.uint32)
+    Lr, _ = jax.lax.fori_loop(0, n, body, (Lr0, a), unroll=False)
+    rows = _ks_carry_rows(Lr, n)
+    return _cond_sub_rows(rows, p_limbs, n)
+
+
 # ----------------------------------------------------------------------------
 # MXU-reduction Montgomery multiply (v2)
 #
@@ -287,13 +332,17 @@ def _conv_reduce_mxu(a, b, p_limbs, w1, w2, n, tb):
 # ----------------------------------------------------------------------------
 
 def _make_mont(p_ref, w1_ref, w2_ref, *, n, tb, n0, mxu):
-    """Montgomery-product closure over (n, tb) rows for the kernel bodies:
-    either merged CIOS (VPU only) or lazy-conv + MXU reduction."""
+    """Montgomery-product closure over (n, tb) rows for the kernel bodies.
+    `mxu` selects the variant: "mxu" = lazy conv + MXU reduction, "cios3" =
+    two-accumulator merged CIOS (_conv_reduce_v3), anything falsy/"cios" =
+    the padded-window merged CIOS."""
     p_limbs = p_ref[:]
-    if mxu:
+    if mxu == "mxu" or mxu is True:
         w1 = w1_ref[:]
         w2 = w2_ref[:]
         return p_limbs, lambda a, b: _conv_reduce_mxu(a, b, p_limbs, w1, w2, n, tb)
+    if mxu == "cios3":
+        return p_limbs, lambda a, b: _conv_reduce_v3(a, b, p_limbs, n, tb, n0)
     return p_limbs, lambda a, b: _conv_reduce(a, b, p_limbs, n, tb, n0)
 
 
@@ -412,6 +461,86 @@ def _fp6mul_kernel(*refs, n, tb, n0, mxu):
         out_ref[:] = jnp.transpose(rows, (1, 0))
 
 
+def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu):
+    """Fused Granger-Scott cyclotomic square: 9 Fp2 squares (18 Montgomery
+    muls) + all xi/combination arithmetic in ONE launch (mirrors
+    tower.fp12_cyclotomic_sqr's jnp fallback / golden fp12_cyclotomic_sqr).
+
+    refs: z0c0, z0c1, ..., z5c0, z5c1 (12 inputs in the GS z-ordering —
+    the caller does the fp12<->z coefficient permutation), p, w1, w2,
+    then 12 outputs in the same z-ordering."""
+    ins = refs[:12]
+    outs = refs[15:27]
+    p_limbs, mont = _make_mont(
+        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    Z = [
+        (
+            jnp.transpose(ins[2 * i][:], (1, 0)),
+            jnp.transpose(ins[2 * i + 1][:], (1, 0)),
+        )
+        for i in range(6)
+    ]
+
+    def f2add(a, b):
+        return (
+            _add_rows(a[0], b[0], p_limbs, n, tb),
+            _add_rows(a[1], b[1], p_limbs, n, tb),
+        )
+
+    def f2sub(a, b):
+        return (
+            _sub_rows(a[0], b[0], p_limbs, n, tb),
+            _sub_rows(a[1], b[1], p_limbs, n, tb),
+        )
+
+    def f2sqr(a):
+        a0, a1 = a
+        s = _propagate_rows(a0 + a1, n, tb)
+        d = _sub_rows(a0, a1, p_limbs, n, tb)
+        re = mont(s, d)
+        m = mont(a0, a1)
+        return (re, _add_rows(m, m, p_limbs, n, tb))
+
+    def f2xi(a):  # * (1 + u)
+        return (
+            _sub_rows(a[0], a[1], p_limbs, n, tb),
+            _add_rows(a[0], a[1], p_limbs, n, tb),
+        )
+
+    sums = [f2add(Z[0], Z[1]), f2add(Z[2], Z[3]), f2add(Z[4], Z[5])]
+    sq = [f2sqr(z) for z in Z] + [f2sqr(s) for s in sums]
+    xi_t1 = [f2xi(sq[1]), f2xi(sq[3]), f2xi(sq[5])]
+    t00 = f2add(sq[0], xi_t1[0])
+    t20 = f2add(sq[2], xi_t1[1])
+    t40 = f2add(sq[4], xi_t1[2])
+    t01 = f2sub(sq[6], f2add(sq[0], sq[1]))
+    t21 = f2sub(sq[7], f2add(sq[2], sq[3]))
+    t41 = f2sub(sq[8], f2add(sq[4], sq[5]))
+
+    def m3m2(t, zz):  # 3t - 2z
+        r = f2sub(t, zz)
+        r = f2add(r, r)
+        return f2add(r, t)
+
+    def p3p2(t, zz):  # 3t + 2z
+        r = f2add(t, zz)
+        r = f2add(r, r)
+        return f2add(r, t)
+
+    zn = [
+        m3m2(t00, Z[0]),
+        p3p2(t01, Z[1]),
+        p3p2(f2xi(t41), Z[2]),
+        m3m2(t40, Z[3]),
+        m3m2(t20, Z[4]),
+        p3p2(t21, Z[5]),
+    ]
+    for i in range(6):
+        outs[2 * i][:] = jnp.transpose(zn[i][0], (1, 0))
+        outs[2 * i + 1][:] = jnp.transpose(zn[i][1], (1, 0))
+
+
 class FieldKernels:
     """Pallas kernel set for one ModField."""
 
@@ -422,8 +551,22 @@ class FieldKernels:
         self.tile = tile
         self.n0 = int(field.n0)
         self.p_col = np.asarray(field.P_LIMBS).reshape(self.n, 1)
-        self.mxu = config.mxu_reduce
+        self.mxu = (
+            "mxu"
+            if config.mxu_reduce
+            else ("cios3" if config.cios_v3 else "cios")
+        )
         self.w1, self.w2 = _mont_matrices(field.modulus, self.n)
+
+    @staticmethod
+    def _compiler_params():
+        """Raise the 16 MB default scoped-VMEM cap: the fused tower kernels'
+        stack crests it at large batches (measured 16.52 MB for the Fp6
+        kernel at batch 16384); v5e has 128 MB of VMEM, so 64 MB leaves both
+        headroom and a runaway guard."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
     def _mont_inputs(self):
         """The constant operands every mul-type kernel takes after the
@@ -482,6 +625,7 @@ class FieldKernels:
         out = pl.pallas_call(
             kernel_fn(tile),
             grid=(total // tile,),
+            compiler_params=self._compiler_params(),
             in_specs=[
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -518,17 +662,14 @@ class FieldKernels:
         self._rec(2, 3, jnp.broadcast_shapes(a0.shape, a1.shape))
         return self._fp2_call(_fp2sqr_kernel, [a0, a1])
 
-    def fp6_mul(self, a_coords, b_coords):
-        """Fused Fp6 product: a_coords/b_coords are 6 limb tensors each
-        (coefficient-major (c0.c0, c0.c1, c1.c0, c1.c1, c2.c0, c2.c1));
-        returns 6 output tensors in the same layout."""
+    def _tower_call(self, kernel_fn, operands, n_out):
+        """Generic multi-in/multi-out fused tower kernel plumbing:
+        broadcast + flatten + tile/pad the operands, launch, unflatten."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         n = self.n
-        operands = list(a_coords) + list(b_coords)
         shape = jnp.broadcast_shapes(*[x.shape for x in operands])
-        self._rec(18, 46, shape)  # 6 fp2-muls (Toom) + combination adds
         ops = [jnp.broadcast_to(x, shape).reshape(-1, n) for x in operands]
         lead = shape[:-1]
         bsz = ops[0].shape[0]
@@ -545,18 +686,38 @@ class FieldKernels:
         const_specs, const_vals = self._mont_inputs()
         outs = pl.pallas_call(
             functools.partial(
-                _fp6mul_kernel, n=n, tb=tile, n0=self.n0, mxu=self.mxu
+                kernel_fn, n=n, tb=tile, n0=self.n0, mxu=self.mxu
             ),
             grid=(total // tile,),
-            in_specs=[vec] * 12 + const_specs,
-            out_specs=tuple([vec] * 6),
+            compiler_params=self._compiler_params(),
+            in_specs=[vec] * len(ops) + const_specs,
+            out_specs=tuple([vec] * n_out),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((total, n), jnp.uint32) for _ in range(6)
+                jax.ShapeDtypeStruct((total, n), jnp.uint32)
+                for _ in range(n_out)
             ),
         )(*ops, *const_vals)
         if pad:
             outs = [o[:bsz] for o in outs]
         return [o.reshape(lead + (n,)) for o in outs]
+
+    def fp6_mul(self, a_coords, b_coords):
+        """Fused Fp6 product: a_coords/b_coords are 6 limb tensors each
+        (coefficient-major (c0.c0, c0.c1, c1.c0, c1.c1, c2.c0, c2.c1));
+        returns 6 output tensors in the same layout."""
+        operands = list(a_coords) + list(b_coords)
+        shape = jnp.broadcast_shapes(*[x.shape for x in operands])
+        self._rec(18, 46, shape)  # 6 fp2-muls (Toom) + combination adds
+        return self._tower_call(_fp6mul_kernel, operands, 6)
+
+    def cyclo_sqr(self, z_coords):
+        """Fused Granger-Scott cyclotomic square: z_coords are the 12 limb
+        tensors of the GS z-ordering (z0.c0, z0.c1, ..., z5.c1); returns 12
+        output tensors in the same layout."""
+        operands = list(z_coords)
+        shape = jnp.broadcast_shapes(*[x.shape for x in operands])
+        self._rec(18, 70, shape)  # 9 fp2 squares + GS combination adds
+        return self._tower_call(_cyclo_sqr_kernel, operands, 12)
 
     def fp2_mul(self, a0, a1, b0, b1):
         """Fused Karatsuba Fp2 product -> (c0, c1); operands (..., n) with a
@@ -589,6 +750,7 @@ class FieldKernels:
         c0, c1 = pl.pallas_call(
             functools.partial(kernel, n=n, tb=tile, n0=self.n0, mxu=self.mxu),
             grid=(total // tile,),
+            compiler_params=self._compiler_params(),
             in_specs=[vec_spec] * len(ops) + const_specs,
             out_specs=(vec_spec, vec_spec),
             out_shape=(

@@ -401,9 +401,21 @@ def fp12_sqr(a):
 def fp12_cyclotomic_sqr(f):
     """Granger-Scott squaring for cyclotomic-subgroup elements: 9 Fp2
     squares (one stacked call) + stacked combinations — half the multiplies
-    of a generic fp12_sqr.  Mirrors golden fp12_cyclotomic_sqr."""
+    of a generic fp12_sqr.  Mirrors golden fp12_cyclotomic_sqr.
+
+    On TPU the whole square (18 Montgomery muls + every xi/combination
+    add) runs as ONE fused Pallas launch (config.fuse_cyclo) — the
+    final-exponentiation x-chains are squaring-latency-bound, so keeping
+    the combination arithmetic inside the kernel removes the inter-launch
+    HBM round-trips the stacked jnp path pays."""
+    from ..utils.config import config
+
     a, b = f
     z = (a[0], b[1], b[0], a[2], a[1], b[2])
+    if FP._use_pallas() and config.fuse_cyclo:
+        o = FP.kernels.cyclo_sqr([c for zz in z for c in zz])
+        zn = [(o[2 * i], o[2 * i + 1]) for i in range(6)]
+        return ((zn[0], zn[4], zn[3]), (zn[2], zn[1], zn[5]))
     sums = fp2_add_many([(z[0], z[1]), (z[2], z[3]), (z[4], z[5])])
     sq = fp2_sqr_many([z[0], z[1], z[2], z[3], z[4], z[5]] + sums)
     # fp4 squares: c0 = t0 + xi t1, c1 = (a+b)^2 - t0 - t1

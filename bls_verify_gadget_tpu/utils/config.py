@@ -24,6 +24,9 @@ class Config:
     # the remote compile helper's memory budget); measured +12% verify
     # throughput and 3x faster TPU cold compile.
     fuse_fp6: bool = os.environ.get("BLS_TPU_FUSE_FP6", "1") == "1"
+    # fused Granger-Scott cyclotomic-square kernel (18 Montgomery muls +
+    # all combination adds in one launch) for the final-exp x-chains
+    fuse_cyclo: bool = os.environ.get("BLS_TPU_FUSE_CYCLO", "1") == "1"
     # MXU Montgomery reduction: the a*b convolution stays on the VPU (lazy
     # lo/hi accumulation) and the reduction m = T*N' mod R, U = m*p runs as
     # two exact bf16 matmuls on the systolic array (8-bit limb planes keep
@@ -35,6 +38,10 @@ class Config:
     # 16 MB scoped-VMEM limit at tile 16384.  Kept flag-gated for chips
     # where arithmetic, not latency, bounds the chain.
     mxu_reduce: bool = os.environ.get("BLS_TPU_MXU", "0") == "1"
+    # two-accumulator merged CIOS (kernels._conv_reduce_v3): aligned lo/hi
+    # accumulation removes the per-step zero-pad concats and the padded
+    # 32-row window of the original loop-form CIOS
+    cios_v3: bool = os.environ.get("BLS_TPU_CIOS_V3", "0") == "1"
     # static run-structured ladders (scalar mul / Miller / exp chains):
     # "auto" enables them on TPU backends only — they cut kernel launches
     # ~2.5x at runtime but inflate XLA CPU compile times badly

@@ -72,6 +72,52 @@ def test_stacked_shapes():
     assert got == [(x * y) % C.P for x, y in zip(xs, ys)]
 
 
+def test_cyclo_sqr_kernel_interpret():
+    """Fused Granger-Scott cyclotomic-square kernel vs golden, on genuine
+    cyclotomic-subgroup elements (GS squaring is only valid there).  Uses
+    the same fp12 <-> z coefficient permutation as tower.fp12_cyclotomic_sqr."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 6
+    elems = []
+    for _ in range(B):
+        f = tuple(
+            tuple((rng.randrange(1, C.P), rng.randrange(C.P)) for _ in range(3))
+            for _ in range(2)
+        )
+        # project into the cyclotomic subgroup: g = f^((p^6-1)(p^2+1))
+        g = GF.fp12_mul(GF.fp12_frob(f, 6), GF.fp12_inv(f))
+        g = GF.fp12_mul(GF.fp12_frob(g, 2), g)
+        elems.append(g)
+    want = [GF.fp12_cyclotomic_sqr(g) for g in elems]
+
+    def enc(sel):
+        return jnp.asarray(FP.encode([sel(g) for g in elems]))
+
+    # z-ordering from tower.fp12_cyclotomic_sqr: (a0, b1, b0, a2, a1, b2)
+    zsel = [(0, 0), (1, 1), (1, 0), (0, 2), (0, 1), (1, 2)]
+    coords = []
+    for (i, j) in zsel:
+        coords.append(enc(lambda g, i=i, j=j: g[i][j][0]))
+        coords.append(enc(lambda g, i=i, j=j: g[i][j][1]))
+
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.cyclo_sqr(coords)
+    zn = [(FP.decode(np.asarray(o[2 * i])), FP.decode(np.asarray(o[2 * i + 1])))
+          for i in range(6)]
+
+    def fp2_at(zi, k):
+        return (zn[zi][0][k], zn[zi][1][k])
+
+    got = [
+        ((fp2_at(0, k), fp2_at(4, k), fp2_at(3, k)),
+         (fp2_at(2, k), fp2_at(1, k), fp2_at(5, k)))
+        for k in range(B)
+    ]
+    assert got == want
+
+
 def test_mxu_reduction_interpret():
     """The flag-gated MXU Montgomery reduction (config.mxu_reduce, default
     off — see utils/config.py for the v5e latency-wall measurements) stays
