@@ -47,7 +47,16 @@ def fp2_half(a):
 # ----------------------------------------------------------------------------
 
 def fp12_mul_by_014(f, c0, c1, c4):
-    """f * (g0 + g1 w) with g0 = (c0, c1, 0), g1 = (0, c4, 0)."""
+    """f * (g0 + g1 w) with g0 = (c0, c1, 0), g1 = (0, c4, 0).  On TPU the
+    15 Fp2 products + combinations run as ONE fused Pallas launch
+    (config.fuse_fp12)."""
+    from ..utils.config import config
+
+    if T.FP._use_pallas() and config.fuse_fp12:
+        o = T.FP.kernels.mul014(
+            T._flat12(f) + [c0[0], c0[1], c1[0], c1[1], c4[0], c4[1]]
+        )
+        return T._unflat12(o)
     a, b = f
     v0 = _fp6_mul_by_01(a, c0, c1)
     v1 = _fp6_mul_by_1(b, c4)
@@ -81,9 +90,25 @@ def _fp6_mul_by_1(a, d1):
 # Miller loop steps (CLN homogeneous projective, M-twist)
 # ----------------------------------------------------------------------------
 
+_TWIST_B_STATIC = tuple(
+    tuple(int(v) for v in np.asarray(c).tolist()) for c in _TWIST_B
+)
+
+
 def _dbl_step(t, xp, yp):
-    """Doubling step: returns (new T, line coeffs (c0, c1, c4))."""
+    """Doubling step: returns (new T, line coeffs (c0, c1, c4)).  On TPU
+    the whole step (10 Fp2 mul/sqr + line scalings + halvings) is ONE
+    fused Pallas launch (config.fuse_steps)."""
+    from ..utils.config import config
+
     X, Y, Z = t
+    if T.FP._use_pallas() and config.fuse_steps:
+        o = T.FP.kernels.dbl_step(
+            [X[0], X[1], Y[0], Y[1], Z[0], Z[1], xp, yp], _TWIST_B_STATIC
+        )
+        return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5])), (
+            (o[6], o[7]), (o[8], o[9]), (o[10], o[11]),
+        )
     bb = T._bcast(_TWIST_B, X)
     a_, b_, c_ = T.fp2_mul_pairs([(X, Y), (Y, Y), (Z, Z)])
     a_ = fp2_half(a_)
@@ -106,9 +131,20 @@ def _dbl_step(t, xp, yp):
 
 def _add_step(t, q, xp, yp):
     """Mixed addition step with affine q = (xq, yq):
-    returns (new T, line coeffs)."""
+    returns (new T, line coeffs).  On TPU one fused Pallas launch
+    (config.fuse_steps)."""
+    from ..utils.config import config
+
     X, Y, Z = t
     xq, yq = q
+    if T.FP._use_pallas() and config.fuse_steps:
+        o = T.FP.kernels.add_step(
+            [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
+             xq[0], xq[1], yq[0], yq[1], xp, yp]
+        )
+        return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5])), (
+            (o[6], o[7]), (o[8], o[9]), (o[10], o[11]),
+        )
     yqz, xqz = T.fp2_mul_pairs([(yq, Z), (xq, Z)])
     th = T.fp2_sub(Y, yqz)        # theta
     lm = T.fp2_sub(X, xqz)        # lambda

@@ -461,6 +461,288 @@ def _fp6mul_kernel(*refs, n, tb, n0, mxu):
         out_ref[:] = jnp.transpose(rows, (1, 0))
 
 
+def _half_rows(a, p_limbs, n, tb):
+    """a/2 mod p on canonical (n, tb) rows: add p when odd, then shift the
+    384-bit value right one bit across limb rows (row i gets row i+1's low
+    bit as its bit 15).  Mirrors ops/pairing.fp_half."""
+    odd = a[0:1, :] & 1
+    s = _ks_carry_rows(a + odd * p_limbs, n)
+    up = jnp.concatenate([s[1:], jnp.zeros((1, tb), jnp.uint32)], axis=0)
+    return (s >> 1) | ((up << 15) & jnp.uint32(0x8000))
+
+
+class _F2Rows:
+    """Fp2 arithmetic on transposed (n, tb) limb rows inside a kernel body.
+    Elements are (c0, c1) row pairs, canonical [0, m); every op returns
+    canonical rows, so bodies compose exactly like the stacked jnp tower
+    ops they replace."""
+
+    def __init__(self, p_limbs, mont, n, tb):
+        self.p, self.mont, self.n, self.tb = p_limbs, mont, n, tb
+
+    def add(self, a, b):
+        return (
+            _add_rows(a[0], b[0], self.p, self.n, self.tb),
+            _add_rows(a[1], b[1], self.p, self.n, self.tb),
+        )
+
+    def sub(self, a, b):
+        return (
+            _sub_rows(a[0], b[0], self.p, self.n, self.tb),
+            _sub_rows(a[1], b[1], self.p, self.n, self.tb),
+        )
+
+    def neg(self, a):
+        z = jnp.zeros_like(a[0])
+        return (
+            _sub_rows(z, a[0], self.p, self.n, self.tb),
+            _sub_rows(z, a[1], self.p, self.n, self.tb),
+        )
+
+    def mul(self, a, b):
+        return _fp2_mul_rows(
+            a[0], a[1], b[0], b[1], self.p, self.mont, self.n, self.tb
+        )
+
+    def sqr(self, a):
+        a0, a1 = a
+        s = _propagate_rows(a0 + a1, self.n, self.tb)
+        d = _sub_rows(a0, a1, self.p, self.n, self.tb)
+        re = self.mont(s, d)
+        m = self.mont(a0, a1)
+        return (re, _add_rows(m, m, self.p, self.n, self.tb))
+
+    def xi(self, a):  # * (1 + u)
+        return (
+            _sub_rows(a[0], a[1], self.p, self.n, self.tb),
+            _add_rows(a[0], a[1], self.p, self.n, self.tb),
+        )
+
+    def muls(self, a, s):  # * Fp scalar (s canonical rows)
+        return (self.mont(a[0], s), self.mont(a[1], s))
+
+    def half(self, a):
+        return (
+            _half_rows(a[0], self.p, self.n, self.tb),
+            _half_rows(a[1], self.p, self.n, self.tb),
+        )
+
+
+# Fp6/Fp12 bodies over _F2Rows elements (tuples of f2 pairs). These mirror
+# ops/tower.py's stacked formulas term for term so the fused kernels remain
+# bit-exact drop-ins for the jnp paths they replace.
+
+def _f6_add(f2, a, b):
+    return tuple(f2.add(x, y) for x, y in zip(a, b))
+
+
+def _f6_sub(f2, a, b):
+    return tuple(f2.sub(x, y) for x, y in zip(a, b))
+
+
+def _f6_mul_v_rows(f2, a):  # * v (cyclic shift with xi)
+    return (f2.xi(a[2]), a[0], a[1])
+
+
+def _f6_mul(f2, a, b):
+    """Toom/Karatsuba Fp6 product (6 Fp2 muls), as in tower.fp6_mul_pairs."""
+    v0 = f2.mul(a[0], b[0])
+    v1 = f2.mul(a[1], b[1])
+    v2 = f2.mul(a[2], b[2])
+    t12 = f2.mul(f2.add(a[1], a[2]), f2.add(b[1], b[2]))
+    t01 = f2.mul(f2.add(a[0], a[1]), f2.add(b[0], b[1]))
+    t02 = f2.mul(f2.add(a[0], a[2]), f2.add(b[0], b[2]))
+    c0 = f2.add(v0, f2.xi(f2.sub(t12, f2.add(v1, v2))))
+    c1 = f2.add(f2.sub(t01, f2.add(v0, v1)), f2.xi(v2))
+    c2 = f2.add(f2.sub(t02, f2.add(v0, v2)), v1)
+    return (c0, c1, c2)
+
+
+def _f12_mul(f2, a, b):
+    """Karatsuba over Fp6 (tower.fp12_mul)."""
+    a0, a1 = a
+    b0, b1 = b
+    asum = _f6_add(f2, a0, a1)
+    bsum = _f6_add(f2, b0, b1)
+    v0 = _f6_mul(f2, a0, b0)
+    v1 = _f6_mul(f2, a1, b1)
+    v2 = _f6_mul(f2, asum, bsum)
+    c0 = _f6_add(f2, v0, _f6_mul_v_rows(f2, v1))
+    c1 = _f6_sub(f2, v2, _f6_add(f2, v0, v1))
+    return (c0, c1)
+
+
+def _f12_sqr(f2, a):
+    """tower.fp12_sqr: 2 Fp6 products."""
+    a0, a1 = a
+    s = _f6_add(f2, a0, a1)
+    t_in = _f6_add(f2, a0, _f6_mul_v_rows(f2, a1))
+    v0 = _f6_mul(f2, a0, a1)
+    t = _f6_mul(f2, s, t_in)
+    c0 = _f6_sub(f2, _f6_sub(f2, t, v0), _f6_mul_v_rows(f2, v0))
+    c1 = _f6_add(f2, v0, v0)
+    return (c0, c1)
+
+
+def _f6_mul_by_01(f2, a, d0, d1):
+    p0 = f2.mul(a[0], d0)
+    p1 = f2.mul(a[2], d1)
+    p2 = f2.mul(a[0], d1)
+    p3 = f2.mul(a[1], d0)
+    p4 = f2.mul(a[1], d1)
+    p5 = f2.mul(a[2], d0)
+    return (f2.add(p0, f2.xi(p1)), f2.add(p2, p3), f2.add(p4, p5))
+
+
+def _f6_mul_by_1(f2, a, d1):
+    p0 = f2.mul(a[2], d1)
+    p1 = f2.mul(a[0], d1)
+    p2 = f2.mul(a[1], d1)
+    return (f2.xi(p0), p1, p2)
+
+
+def _f12_mul_014(f2, f, c0, c1, c4):
+    """pairing.fp12_mul_by_014: sparse line multiply (15 Fp2 muls)."""
+    a, b = f
+    v0 = _f6_mul_by_01(f2, a, c0, c1)
+    v1 = _f6_mul_by_1(f2, b, c4)
+    c1c4 = f2.add(c1, c4)
+    t = _f6_mul_by_01(f2, _f6_add(f2, a, b), c0, c1c4)
+    out0 = _f6_add(f2, v0, _f6_mul_v_rows(f2, v1))
+    out1 = _f6_sub(f2, t, _f6_add(f2, v0, v1))
+    return (out0, out1)
+
+
+def _load_rows(refs):
+    return [jnp.transpose(r[:], (1, 0)) for r in refs]
+
+
+def _store_rows(refs, rows):
+    for r, x in zip(refs, rows):
+        r[:] = jnp.transpose(x, (1, 0))
+
+
+def _group_f2(rows):
+    return [(rows[2 * i], rows[2 * i + 1]) for i in range(len(rows) // 2)]
+
+
+def _group_f12(rows):
+    f = _group_f2(rows)
+    return ((f[0], f[1], f[2]), (f[3], f[4], f[5]))
+
+
+def _flat_f12(f):
+    return [c for f6 in f for f2c in f6 for c in f2c]
+
+
+def _fp12mul_kernel(*refs, n, tb, n0, mxu):
+    """Fused full Fp12 product (Karatsuba over Fp6: 18 Fp2 muls = 54
+    Montgomery muls) + every combination add, ONE launch.  refs: 12 a
+    coords + 12 b coords (coefficient-major c0.c0.r .. c1.c2.i), p, w1,
+    w2, 12 outputs."""
+    ins, outs = refs[:24], refs[27:39]
+    p_limbs, mont = _make_mont(refs[24], refs[25], refs[26], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    out = _f12_mul(f2, _group_f12(rows[:12]), _group_f12(rows[12:]))
+    _store_rows(outs, _flat_f12(out))
+
+
+def _fp12sqr_kernel(*refs, n, tb, n0, mxu):
+    """Fused generic Fp12 square (2 Fp6 products = 36 Montgomery muls),
+    ONE launch.  refs: 12 coords, p, w1, w2, 12 outputs."""
+    ins, outs = refs[:12], refs[15:27]
+    p_limbs, mont = _make_mont(refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    out = _f12_sqr(f2, _group_f12(_load_rows(ins)))
+    _store_rows(outs, _flat_f12(out))
+
+
+def _mul014_kernel(*refs, n, tb, n0, mxu):
+    """Fused sparse Fp12 x line multiply (pairing.fp12_mul_by_014, 15 Fp2
+    muls), ONE launch.  refs: 12 f coords + c0 (2) + c1 (2) + c4 (2), p,
+    w1, w2, 12 outputs."""
+    ins, outs = refs[:18], refs[21:33]
+    p_limbs, mont = _make_mont(refs[18], refs[19], refs[20], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    f = _group_f12(rows[:12])
+    c0, c1, c4 = _group_f2(rows[12:18])
+    out = _f12_mul_014(f2, f, c0, c1, c4)
+    _store_rows(outs, _flat_f12(out))
+
+
+def _dblstep_kernel(*refs, n, tb, n0, mxu):
+    """Fused Miller doubling step (pairing._dbl_step: CLN homogeneous
+    projective, M-twist): the full T update + line coefficients in ONE
+    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, w1, w2,
+    twist-b' columns (2: Montgomery limbs of the twist curve's b' Fp2,
+    passed as inputs — Mosaic rejects captured array constants), then
+    outputs X' Y' Z' (6) + line i_, c1l, c4l (6)."""
+    ins, outs = refs[:8], refs[13:25]
+    p_limbs, mont = _make_mont(refs[8], refs[9], refs[10], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    X, Y, Z = _group_f2(rows[:6])
+    xp, yp = rows[6], rows[7]
+    bb = tuple(
+        jnp.broadcast_to(refs[11 + k][:], (n, tb)) for k in range(2)
+    )
+    a_ = f2.half(f2.mul(X, Y))
+    b_ = f2.sqr(Y)
+    c_ = f2.sqr(Z)
+    c3 = f2.add(f2.add(c_, c_), c_)
+    e_ = f2.mul(bb, c3)
+    f_ = f2.add(f2.add(e_, e_), e_)
+    g_ = f2.half(f2.add(b_, f_))
+    h_ = f2.sub(f2.sqr(f2.add(Y, Z)), f2.add(b_, c_))
+    i_ = f2.sub(e_, b_)
+    j_ = f2.sqr(X)
+    e2 = f2.sqr(e_)
+    x3 = f2.mul(a_, f2.sub(b_, f_))
+    z3 = f2.mul(b_, h_)
+    y3 = f2.sub(f2.sqr(g_), f2.add(f2.add(e2, e2), e2))
+    j3 = f2.add(f2.add(j_, j_), j_)
+    c1l = f2.muls(j3, xp)
+    c4l = f2.muls(f2.neg(h_), yp)
+    _store_rows(outs, [x3[0], x3[1], y3[0], y3[1], z3[0], z3[1],
+                       i_[0], i_[1], c1l[0], c1l[1], c4l[0], c4l[1]])
+
+
+def _addstep_kernel(*refs, n, tb, n0, mxu):
+    """Fused Miller mixed-addition step (pairing._add_step) in ONE launch.
+    refs: X (2), Y (2), Z (2), xq (2), yq (2), xp, yp, p, w1, w2, then
+    outputs X' Y' Z' (6) + line c0l, c1l, c4l (6)."""
+    ins, outs = refs[:12], refs[15:27]
+    p_limbs, mont = _make_mont(refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    X, Y, Z, xq, yq = _group_f2(rows[:10])
+    xp, yp = rows[10], rows[11]
+    yqz = f2.mul(yq, Z)
+    xqz = f2.mul(xq, Z)
+    th = f2.sub(Y, yqz)
+    lm = f2.sub(X, xqz)
+    cc = f2.sqr(th)
+    dd = f2.sqr(lm)
+    e_ = f2.mul(lm, dd)
+    f_ = f2.mul(Z, cc)
+    g_ = f2.mul(X, dd)
+    h_ = f2.sub(f2.add(e_, f_), f2.add(g_, g_))
+    x3 = f2.mul(lm, h_)
+    z3 = f2.mul(Z, e_)
+    t1 = f2.mul(th, f2.sub(g_, h_))
+    t2 = f2.mul(e_, Y)
+    y3 = f2.sub(t1, t2)
+    p1 = f2.mul(th, xq)
+    p2 = f2.mul(lm, yq)
+    c0l = f2.sub(p1, p2)
+    c1l = f2.muls(f2.neg(th), xp)
+    c4l = f2.muls(lm, yp)
+    _store_rows(outs, [x3[0], x3[1], y3[0], y3[1], z3[0], z3[1],
+                       c0l[0], c0l[1], c1l[0], c1l[1], c4l[0], c4l[1]])
+
+
 def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu):
     """Fused Granger-Scott cyclotomic square: 9 Fp2 squares (18 Montgomery
     muls) + all xi/combination arithmetic in ONE launch (mirrors
@@ -474,39 +756,9 @@ def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu):
     p_limbs, mont = _make_mont(
         refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
     )
-    Z = [
-        (
-            jnp.transpose(ins[2 * i][:], (1, 0)),
-            jnp.transpose(ins[2 * i + 1][:], (1, 0)),
-        )
-        for i in range(6)
-    ]
-
-    def f2add(a, b):
-        return (
-            _add_rows(a[0], b[0], p_limbs, n, tb),
-            _add_rows(a[1], b[1], p_limbs, n, tb),
-        )
-
-    def f2sub(a, b):
-        return (
-            _sub_rows(a[0], b[0], p_limbs, n, tb),
-            _sub_rows(a[1], b[1], p_limbs, n, tb),
-        )
-
-    def f2sqr(a):
-        a0, a1 = a
-        s = _propagate_rows(a0 + a1, n, tb)
-        d = _sub_rows(a0, a1, p_limbs, n, tb)
-        re = mont(s, d)
-        m = mont(a0, a1)
-        return (re, _add_rows(m, m, p_limbs, n, tb))
-
-    def f2xi(a):  # * (1 + u)
-        return (
-            _sub_rows(a[0], a[1], p_limbs, n, tb),
-            _add_rows(a[0], a[1], p_limbs, n, tb),
-        )
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    Z = _group_f2(_load_rows(ins))
+    f2add, f2sub, f2sqr, f2xi = f2.add, f2.sub, f2.sqr, f2.xi
 
     sums = [f2add(Z[0], Z[1]), f2add(Z[2], Z[3]), f2add(Z[4], Z[5])]
     sq = [f2sqr(z) for z in Z] + [f2sqr(s) for s in sums]
@@ -662,9 +914,14 @@ class FieldKernels:
         self._rec(2, 3, jnp.broadcast_shapes(a0.shape, a1.shape))
         return self._fp2_call(_fp2sqr_kernel, [a0, a1])
 
-    def _tower_call(self, kernel_fn, operands, n_out):
+    def _tower_call(self, kernel_fn, operands, n_out, extra=None,
+                    extra_consts=None):
         """Generic multi-in/multi-out fused tower kernel plumbing:
-        broadcast + flatten + tile/pad the operands, launch, unflatten."""
+        broadcast + flatten + tile/pad the operands, launch, unflatten.
+        `extra`: additional static kwargs for the kernel body.
+        `extra_consts`: per-launch-uniform (n, 1) uint32 columns appended
+        as inputs after p/w1/w2 (Mosaic rejects captured array constants,
+        so curve constants ride in as operands)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -684,9 +941,15 @@ class FieldKernels:
         total = ops[0].shape[0]
         vec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
         const_specs, const_vals = self._mont_inputs()
+        for col in extra_consts or []:
+            const_specs.append(
+                pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            const_vals.append(jnp.asarray(col, jnp.uint32))
         outs = pl.pallas_call(
             functools.partial(
-                kernel_fn, n=n, tb=tile, n0=self.n0, mxu=self.mxu
+                kernel_fn, n=n, tb=tile, n0=self.n0, mxu=self.mxu,
+                **(extra or {}),
             ),
             grid=(total // tile,),
             compiler_params=self._compiler_params(),
@@ -709,6 +972,42 @@ class FieldKernels:
         shape = jnp.broadcast_shapes(*[x.shape for x in operands])
         self._rec(18, 46, shape)  # 6 fp2-muls (Toom) + combination adds
         return self._tower_call(_fp6mul_kernel, operands, 6)
+
+    def fp12_mul(self, coords):
+        """Fused full Fp12 product: coords = 12 a tensors + 12 b tensors
+        (coefficient-major c0.c0.r .. c1.c2.i); returns 12 outputs."""
+        self._rec(54, 152, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        return self._tower_call(_fp12mul_kernel, list(coords), 12)
+
+    def fp12_sqr(self, coords):
+        """Fused generic Fp12 square: 12 coord tensors in -> 12 out."""
+        self._rec(36, 112, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        return self._tower_call(_fp12sqr_kernel, list(coords), 12)
+
+    def mul014(self, coords):
+        """Fused sparse Fp12 x line product: coords = 12 f tensors +
+        c0 (2) + c1 (2) + c4 (2); returns 12 outputs."""
+        self._rec(45, 120, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        return self._tower_call(_mul014_kernel, list(coords), 12)
+
+    def dbl_step(self, coords, twist_b):
+        """Fused Miller doubling step: coords = X (2), Y (2), Z (2), xp,
+        yp; twist_b = static Montgomery limb tuples of b' (Fp2), shipped
+        to the kernel as (n, 1) const operands.  Returns X' Y' Z' (6) +
+        line i_, c1l, c4l (6)."""
+        self._rec(28, 96, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        cols = [
+            np.asarray(c, np.uint32).reshape(self.n, 1) for c in twist_b
+        ]
+        return self._tower_call(
+            _dblstep_kernel, list(coords), 12, extra_consts=cols
+        )
+
+    def add_step(self, coords):
+        """Fused Miller mixed-addition step: coords = X (2), Y (2), Z (2),
+        xq (2), yq (2), xp, yp.  Returns X' Y' Z' (6) + line (6)."""
+        self._rec(38, 84, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        return self._tower_call(_addstep_kernel, list(coords), 12)
 
     def cyclo_sqr(self, z_coords):
         """Fused Granger-Scott cyclotomic square: z_coords are the 12 limb

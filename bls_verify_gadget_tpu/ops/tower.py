@@ -378,8 +378,23 @@ def fp12_add(a, b):
     r = fp2_add_many(list(zip(a[0], b[0])) + list(zip(a[1], b[1])))
     return ((r[0], r[1], r[2]), (r[3], r[4], r[5]))
 
+def _flat12(f):
+    """fp12 ((c0,c1,c2),(c3,c4,c5)) -> 12 coord tensors, coefficient-major."""
+    return [c for f6 in f for f2c in f6 for c in f2c]
+
+
+def _unflat12(o):
+    f = [(o[2 * i], o[2 * i + 1]) for i in range(6)]
+    return ((f[0], f[1], f[2]), (f[3], f[4], f[5]))
+
+
 def fp12_mul(a, b):
-    """Karatsuba over Fp6: 3 Fp6 products in one stacked schedule."""
+    """Karatsuba over Fp6: 3 Fp6 products in one stacked schedule; on TPU
+    one fused Pallas launch (config.fuse_fp12)."""
+    from ..utils.config import config
+
+    if FP._use_pallas() and config.fuse_fp12:
+        return _unflat12(FP.kernels.fp12_mul(_flat12(a) + _flat12(b)))
     a0, a1 = a
     b0, b1 = b
     pre = fp2_add_many(list(zip(a0, a1)) + list(zip(b0, b1)))
@@ -390,6 +405,10 @@ def fp12_mul(a, b):
     return (c0, c1)
 
 def fp12_sqr(a):
+    from ..utils.config import config
+
+    if FP._use_pallas() and config.fuse_fp12:
+        return _unflat12(FP.kernels.fp12_sqr(_flat12(a)))
     a0, a1 = a
     pre = fp2_add_many(list(zip(a0, a1)) + list(zip(a0, fp6_mul_v(a1))))
     s, t_in = tuple(pre[:3]), tuple(pre[3:])

@@ -27,6 +27,14 @@ class Config:
     # fused Granger-Scott cyclotomic-square kernel (18 Montgomery muls +
     # all combination adds in one launch) for the final-exp x-chains
     fuse_cyclo: bool = os.environ.get("BLS_TPU_FUSE_CYCLO", "1") == "1"
+    # fused Fp12 kernels: full product (54 Montgomery muls), generic
+    # square (36), and the sparse line multiply fp12_mul_by_014 (45) each
+    # as ONE launch — the Miller loop and final exponentiation become a
+    # handful of launches per step instead of dozens of stacked calls
+    fuse_fp12: bool = os.environ.get("BLS_TPU_FUSE_FP12", "1") == "1"
+    # fused Miller dbl/add step kernels (full CLN step + line coefficients
+    # in one launch)
+    fuse_steps: bool = os.environ.get("BLS_TPU_FUSE_STEPS", "1") == "1"
     # MXU Montgomery reduction: the a*b convolution stays on the VPU (lazy
     # lo/hi accumulation) and the reduction m = T*N' mod R, U = m*p runs as
     # two exact bf16 matmuls on the systolic array (8-bit limb planes keep

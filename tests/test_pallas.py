@@ -157,3 +157,137 @@ def test_fp2_kernels_interpret():
     assert got == [GF.fp2_mul(x, y) for x, y in zip(a2, b2)]
     gots = list(zip(FP.decode(np.asarray(s0)), FP.decode(np.asarray(s1))))
     assert gots == [GF.fp2_sqr(x) for x in a2]
+
+
+def _rand_fp12(b):
+    return [
+        tuple(
+            tuple((rng.randrange(C.P), rng.randrange(C.P)) for _ in range(3))
+            for _ in range(2)
+        )
+        for _ in range(b)
+    ]
+
+
+def _enc12(elems):
+    """fp12 python elements -> 12 coord tensors (coefficient-major)."""
+    out = []
+    for i in range(2):
+        for j in range(3):
+            for k in range(2):
+                out.append(
+                    jnp.asarray(FP.encode([g[i][j][k] for g in elems]))
+                )
+    return out
+
+
+def _dec12(o, b):
+    cols = [FP.decode(np.asarray(x)) for x in o]
+    return [
+        tuple(
+            tuple((cols[6 * i + 2 * j][t], cols[6 * i + 2 * j + 1][t]) for j in range(3))
+            for i in range(2)
+        )
+        for t in range(b)
+    ]
+
+
+def test_fp12_mul_sqr_kernels_interpret():
+    """Fused full Fp12 product / generic square kernels vs golden."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 6
+    xs, ys = _rand_fp12(B), _rand_fp12(B)
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        om = K.fp12_mul(_enc12(xs) + _enc12(ys))
+        os_ = K.fp12_sqr(_enc12(xs))
+    assert _dec12(om, B) == [GF.fp12_mul(x, y) for x, y in zip(xs, ys)]
+    assert _dec12(os_, B) == [GF.fp12_sqr(x) for x in xs]
+
+
+def test_mul014_kernel_interpret():
+    """Fused sparse 014 multiply vs golden full fp12 product against the
+    materialised sparse element (c0 + c1 v + c4 v w)."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 5
+    fs = _rand_fp12(B)
+    lines = [
+        tuple(tuple(rng.randrange(C.P) for _ in range(2)) for _ in range(3))
+        for _ in range(B)
+    ]
+    want = []
+    for f, (c0, c1, c4) in zip(fs, lines):
+        z2 = (0, 0)
+        sparse = ((c0, c1, z2), (z2, c4, z2))
+        want.append(GF.fp12_mul(f, sparse))
+    coords = _enc12(fs)
+    for j in range(3):  # c0, c1, c4
+        for k in range(2):
+            coords.append(
+                jnp.asarray(FP.encode([ln[j][k] for ln in lines]))
+            )
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.mul014(coords)
+    assert _dec12(o, B) == want
+
+
+def test_miller_step_kernels_interpret():
+    """Fused Miller dbl/add step kernels vs the stacked jnp steps
+    (pairing._dbl_step/_add_step with fusion off), on genuine G2 points."""
+    from bls_verify_gadget_tpu.golden import bls as gbls
+    from bls_verify_gadget_tpu.ops import pairing as PR
+    from bls_verify_gadget_tpu.utils.config import config
+
+    B = 4
+    sks = [rng.randrange(1, C.R) for _ in range(B)]
+    qs = [gbls.sign(sk, b"step kernel test") for sk in sks]  # affine G2
+    pks = [gbls.sk_to_pk(sk) for sk in sks]  # affine G1
+
+    def enc2(sel):
+        return jnp.asarray(FP.encode([sel(q) for q in qs]))
+
+    xq = (enc2(lambda q: q[0][0]), enc2(lambda q: q[0][1]))
+    yq = (enc2(lambda q: q[1][0]), enc2(lambda q: q[1][1]))
+    one2 = (
+        jnp.asarray(FP.encode([1] * B)),
+        jnp.asarray(FP.encode([0] * B)),
+    )
+    xp = jnp.asarray(FP.encode([p[0] for p in pks]))
+    yp = jnp.asarray(FP.encode([p[1] for p in pks]))
+    t0 = (xq, yq, one2)
+
+    old = config.fuse_steps
+    config.fuse_steps = False
+    try:
+        (tj, linej) = PR._dbl_step(t0, xp, yp)
+        (taj, lineaj) = PR._add_step(tj, (xq, yq), xp, yp)
+    finally:
+        config.fuse_steps = old
+
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.dbl_step(
+            [xq[0], xq[1], yq[0], yq[1], one2[0], one2[1], xp, yp],
+            PR._TWIST_B_STATIC,
+        )
+        tk = ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+        oa = K.add_step(
+            [tk[0][0], tk[0][1], tk[1][0], tk[1][1], tk[2][0], tk[2][1],
+             xq[0], xq[1], yq[0], yq[1], xp, yp]
+        )
+
+    def flat(t, line):
+        xs = []
+        for f2 in list(t) + list(line):
+            xs += [f2[0], f2[1]]
+        return xs
+
+    want_d = flat(tj, linej)
+    for got, want in zip(o, want_d):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    want_a = flat(taj, lineaj)
+    for got, want in zip(oa, want_a):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -120,6 +120,114 @@ def main():
     ]
     check("cyclo_sqr", got, [GF.fp12_cyclotomic_sqr(g) for g in elems])
 
+    # fused Fp12 kernels (full mul, generic sqr, sparse 014)
+    def rand12():
+        return [
+            tuple(
+                tuple((rng.randrange(C.P), rng.randrange(C.P)) for _ in range(3))
+                for _ in range(2)
+            )
+            for _ in range(B)
+        ]
+
+    def enc12(elems):
+        return [
+            jnp.asarray(FP.encode([g[i][j][k] for g in elems]))
+            for i in range(2)
+            for j in range(3)
+            for k in range(2)
+        ]
+
+    def dec12(o):
+        cols = [FP.decode(np.asarray(x)) for x in o]
+        return [
+            tuple(
+                tuple(
+                    (cols[6 * i + 2 * j][t], cols[6 * i + 2 * j + 1][t])
+                    for j in range(3)
+                )
+                for i in range(2)
+            )
+            for t in range(B)
+        ]
+
+    f12a, f12b = rand12(), rand12()
+    o = jax.jit(K.fp12_mul)(enc12(f12a) + enc12(f12b))
+    check("fp12_mul", dec12(o), [GF.fp12_mul(x, y) for x, y in zip(f12a, f12b)])
+    o = jax.jit(K.fp12_sqr)(enc12(f12a))
+    check("fp12_sqr", dec12(o), [GF.fp12_sqr(x) for x in f12a])
+
+    lines = [
+        tuple(tuple(rng.randrange(C.P) for _ in range(2)) for _ in range(3))
+        for _ in range(B)
+    ]
+    coords = enc12(f12a)
+    for j in range(3):
+        for k in range(2):
+            coords.append(jnp.asarray(FP.encode([ln[j][k] for ln in lines])))
+    o = jax.jit(K.mul014)(coords)
+    z2 = (0, 0)
+    want = [
+        GF.fp12_mul(f, ((c0, c1, z2), (z2, c4, z2)))
+        for f, (c0, c1, c4) in zip(f12a, lines)
+    ]
+    check("mul014", dec12(o), want)
+
+    # fused Miller dbl/add step kernels vs the stacked jnp steps
+    from bls_verify_gadget_tpu.golden import bls as gbls
+    from bls_verify_gadget_tpu.ops import pairing as PR
+    from bls_verify_gadget_tpu.utils.config import config
+
+    nq = 8
+    sks = [rng.randrange(1, C.R) for _ in range(nq)]
+    qs = [gbls.sign(sk, b"tpu step selftest") for sk in sks]
+    pks = [gbls.sk_to_pk(sk) for sk in sks]
+    xq = (
+        jnp.asarray(FP.encode([q[0][0] for q in qs])),
+        jnp.asarray(FP.encode([q[0][1] for q in qs])),
+    )
+    yq = (
+        jnp.asarray(FP.encode([q[1][0] for q in qs])),
+        jnp.asarray(FP.encode([q[1][1] for q in qs])),
+    )
+    one2 = (
+        jnp.asarray(FP.encode([1] * nq)),
+        jnp.asarray(FP.encode([0] * nq)),
+    )
+    xp_ = jnp.asarray(FP.encode([p[0] for p in pks]))
+    yp_ = jnp.asarray(FP.encode([p[1] for p in pks]))
+
+    old = config.fuse_steps
+    config.fuse_steps = False
+    try:
+        tj, linej = jax.jit(PR._dbl_step)((xq, yq, one2), xp_, yp_)
+        taj, lineaj = jax.jit(PR._add_step)(tj, (xq, yq), xp_, yp_)
+    finally:
+        config.fuse_steps = old
+
+    KS = FieldKernels(FP, tile=256)
+    o = jax.jit(lambda cs: KS.dbl_step(cs, PR._TWIST_B_STATIC))(
+        [xq[0], xq[1], yq[0], yq[1], one2[0], one2[1], xp_, yp_]
+    )
+    tk = ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+    oa = jax.jit(KS.add_step)(
+        [tk[0][0], tk[0][1], tk[1][0], tk[1][1], tk[2][0], tk[2][1],
+         xq[0], xq[1], yq[0], yq[1], xp_, yp_]
+    )
+
+    def flat_step(t, line):
+        xs = []
+        for f2c in list(t) + list(line):
+            xs += [f2c[0], f2c[1]]
+        return xs
+
+    got = [FP.decode(np.asarray(x)) for x in o]
+    want = [FP.decode(np.asarray(x)) for x in flat_step(tj, linej)]
+    check("dbl_step", got, want)
+    got = [FP.decode(np.asarray(x)) for x in oa]
+    want = [FP.decode(np.asarray(x)) for x in flat_step(taj, lineaj)]
+    check("add_step", got, want)
+
     # Fr kernel
     xr = [rng.randrange(C.R) for _ in range(B)]
     yr = [rng.randrange(C.R) for _ in range(B)]
