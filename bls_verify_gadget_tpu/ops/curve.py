@@ -94,9 +94,38 @@ def pt_cmov(ops, cond, p, q):
     return tuple(ops.cmov(cond, a, b) for a, b in zip(p, q))
 
 
+def _fused_pt_coords(ops, pts):
+    """Flatten points into the kernel coord list (component-major Fp2)."""
+    out = []
+    for pt in pts:
+        for c in pt:
+            if ops.name == "fp2":
+                out += [c[0], c[1]]
+            else:
+                out.append(c)
+    return out
+
+
+def _fused_pt_unflat(ops, o):
+    if ops.name == "fp2":
+        return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+    return (o[0], o[1], o[2])
+
+
+def _use_fused_pt():
+    from ..utils.config import config
+
+    return FP._use_pallas() and config.fuse_pt
+
+
 def pt_double(ops, p):
     """Complete Jacobian doubling for a = 0 curves (2007 Bernstein-Lange
-    style).  Infinity stays infinity because Z3 = 2 Y Z."""
+    style).  Infinity stays infinity because Z3 = 2 Y Z.  On TPU the whole
+    doubling runs as ONE fused Pallas launch (config.fuse_pt)."""
+    if _use_fused_pt():
+        return _fused_pt_unflat(
+            ops, FP.kernels.pt_dbl(_fused_pt_coords(ops, [p]), ops.name)
+        )
     x, y, z = p
     a_, b_, c_ = ops.mul_pairs([(x, x), (y, y), (z, z)])   # XX, YY, ZZ
     (d_,) = ops.mul_pairs([(b_, b_)])                      # YYYY
@@ -121,7 +150,13 @@ def pt_double(ops, p):
 
 def pt_add(ops, p, q):
     """Complete Jacobian addition: generic add, with doubling / infinity /
-    inverse cases resolved by cmov."""
+    inverse cases resolved by cmov.  On TPU the whole addition (including
+    the edge-case resolution) runs as ONE fused Pallas launch
+    (config.fuse_pt)."""
+    if _use_fused_pt():
+        return _fused_pt_unflat(
+            ops, FP.kernels.pt_add(_fused_pt_coords(ops, [p, q]), ops.name)
+        )
     x1, y1, z1 = p
     x2, y2, z2 = q
     z1z1, z2z2 = ops.mul_pairs([(z1, z1), (z2, z2)])

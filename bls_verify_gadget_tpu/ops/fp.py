@@ -317,12 +317,20 @@ class ModField:
         dig_arr = jnp.asarray(np.array(digits, np.uint32))
         one = jnp.broadcast_to(self.ONE, a.shape)
 
-        def body(f, d):
-            for _ in range(w):
-                f = self.mul(f, f)
-            sel = table[d]  # dynamic gather over the leading table axis
-            f = self.mul(f, sel)
-            return f, None
+        from ..utils.config import config
+
+        if self._use_pallas() and config.fuse_pow:
+            # fused window step: 4 squarings + the table multiply in ONE
+            # Pallas launch (the table gather stays outside the kernel)
+            def body(f, d):
+                return self.kernels.sqr4_mul_fp(f, table[d]), None
+        else:
+            def body(f, d):
+                for _ in range(w):
+                    f = self.mul(f, f)
+                sel = table[d]  # dynamic gather over the leading table axis
+                f = self.mul(f, sel)
+                return f, None
 
         f, _ = jax.lax.scan(body, one, dig_arr)
         return f

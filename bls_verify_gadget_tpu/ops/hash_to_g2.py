@@ -83,11 +83,20 @@ def _fp2_pow_const(a, exponent: int):
     dig_arr = jnp.asarray(np.array(digits, np.uint32))
     one = T.fp2_one_like(a)
 
-    def body(f, d):
-        for _ in range(w):
-            f = T.fp2_sqr(f)
-        f = T.fp2_mul(f, (t0[d], t1[d]))
-        return f, None
+    from ..utils.config import config
+
+    if T.FP._use_pallas() and config.fuse_pow:
+        # fused window step: 4 squarings + the table multiply in ONE
+        # Pallas launch (the table gather stays outside the kernel)
+        def body(f, d):
+            o = T.FP.kernels.sqr4_mul([f[0], f[1], t0[d], t1[d]])
+            return (o[0], o[1]), None
+    else:
+        def body(f, d):
+            for _ in range(w):
+                f = T.fp2_sqr(f)
+            f = T.fp2_mul(f, (t0[d], t1[d]))
+            return f, None
 
     f, _ = jax.lax.scan(body, one, dig_arr)
     return f

@@ -283,6 +283,11 @@ def _exp_by_neg_x(m):
         # only ever applied after the easy part
         if count == 0:
             return f
+        from ..utils.config import config
+
+        if T.FP._use_pallas() and config.fuse_cyclo:
+            # whole static run inside ONE launch (fori_loop in-kernel)
+            return T.fp12_cyclotomic_sqr_k(f, count)
         if count <= 2:
             for _ in range(count):
                 f = T.fp12_cyclotomic_sqr(f)

@@ -527,6 +527,45 @@ class _F2Rows:
             _half_rows(a[1], self.p, self.n, self.tb),
         )
 
+    def is_zero(self, a):  # -> (1, tb) bool (canonical zero test)
+        s = jnp.sum(a[0], axis=0, keepdims=True) + jnp.sum(
+            a[1], axis=0, keepdims=True
+        )
+        return s == 0
+
+    def cmov(self, m, a, b):  # m: (1, tb) bool; a where m else b
+        return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))
+
+
+class _F1Rows:
+    """Fp arithmetic on transposed (n, tb) limb rows inside a kernel body
+    (the scalar-coordinate sibling of _F2Rows, for G1 point kernels).
+    Elements are single row arrays, canonical [0, m)."""
+
+    def __init__(self, p_limbs, mont, n, tb):
+        self.p, self.mont, self.n, self.tb = p_limbs, mont, n, tb
+
+    def add(self, a, b):
+        return _add_rows(a, b, self.p, self.n, self.tb)
+
+    def sub(self, a, b):
+        return _sub_rows(a, b, self.p, self.n, self.tb)
+
+    def neg(self, a):
+        return _sub_rows(jnp.zeros_like(a), a, self.p, self.n, self.tb)
+
+    def mul(self, a, b):
+        return self.mont(a, b)
+
+    def sqr(self, a):
+        return self.mont(a, a)
+
+    def is_zero(self, a):
+        return jnp.sum(a, axis=0, keepdims=True) == 0
+
+    def cmov(self, m, a, b):
+        return jnp.where(m, a, b)
+
 
 # Fp6/Fp12 bodies over _F2Rows elements (tuples of f2 pairs). These mirror
 # ops/tower.py's stacked formulas term for term so the fused kernels remain
@@ -743,21 +782,147 @@ def _addstep_kernel(*refs, n, tb, n0, mxu):
                        c0l[0], c0l[1], c1l[0], c1l[1], c4l[0], c4l[1]])
 
 
-def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu):
-    """Fused Granger-Scott cyclotomic square: 9 Fp2 squares (18 Montgomery
-    muls) + all xi/combination arithmetic in ONE launch (mirrors
-    tower.fp12_cyclotomic_sqr's jnp fallback / golden fp12_cyclotomic_sqr).
+def _pt_dbl_body(F, x, y, z):
+    """Complete Jacobian doubling for a = 0 curves on row elements —
+    mirrors curve.pt_double term for term (canonical [0, m) everywhere, so
+    sqr-vs-mul differences cannot change bits)."""
+    a_ = F.sqr(x)
+    b_ = F.sqr(y)
+    c_ = F.sqr(z)
+    d_ = F.sqr(b_)
+    t = F.sqr(F.add(x, b_))
+    s = F.sub(F.sub(t, a_), d_)
+    s = F.add(s, s)
+    m = F.add(F.add(a_, a_), a_)
+    x3 = F.sub(F.sqr(m), F.add(s, s))
+    d8 = F.add(d_, d_)
+    d8 = F.add(d8, d8)
+    d8 = F.add(d8, d8)
+    y3 = F.sub(F.mul(m, F.sub(s, x3)), d8)
+    z3 = F.sub(F.sub(F.sqr(F.add(y, z)), b_), c_)
+    return (x3, y3, z3)
 
-    refs: z0c0, z0c1, ..., z5c0, z5c1 (12 inputs in the GS z-ordering —
-    the caller does the fp12<->z coefficient permutation), p, w1, w2,
-    then 12 outputs in the same z-ordering."""
-    ins = refs[:12]
-    outs = refs[15:27]
+
+def _pt_add_body(F, p, q, inf):
+    """Complete Jacobian addition on row elements — mirrors curve.pt_add
+    including the doubling / infinity / inverse cmov resolution order."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = F.sqr(z1)
+    z2z2 = F.sqr(z2)
+    u1 = F.mul(x1, z2z2)
+    u2 = F.mul(x2, z1z1)
+    t1 = F.mul(y1, z2z2)
+    t2 = F.mul(y2, z1z1)
+    s1 = F.mul(t1, z2)
+    s2 = F.mul(t2, z1)
+    h = F.sub(u2, u1)
+    r = F.sub(s2, s1)
+    hh = F.sqr(h)
+    hhh = F.mul(h, hh)
+    v = F.mul(u1, hh)
+    rr = F.sqr(r)
+    x3 = F.sub(F.sub(rr, hhh), F.add(v, v))
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, hhh))
+    z3 = F.mul(F.mul(z1, z2), h)
+    res = (x3, y3, z3)
+    h0 = F.is_zero(h)
+    r0 = F.is_zero(r)
+    dbl = _pt_dbl_body(F, x1, y1, z1)
+    res = tuple(F.cmov(h0 & r0, a, b) for a, b in zip(dbl, res))
+    res = tuple(F.cmov(h0 & (~r0), a, b) for a, b in zip(inf, res))
+    p_inf = F.is_zero(z1)
+    q_inf = F.is_zero(z2)
+    res = tuple(F.cmov(p_inf, a, b) for a, b in zip(q, res))
+    res = tuple(F.cmov(q_inf & (~p_inf), a, b) for a, b in zip(p, res))
+    return res
+
+
+def _rows_to_elems(F, rows, coord):
+    if coord == "fp2":
+        return _group_f2(rows)
+    return rows
+
+
+def _elems_to_rows(elems, coord):
+    if coord == "fp2":
+        return [c for e in elems for c in e]
+    return list(elems)
+
+
+def _ptdbl_kernel(*refs, n, tb, n0, mxu, coord):
+    """Fused Jacobian point doubling (curve.pt_double), ONE launch.
+    coord 'fp' (G1): refs = X, Y, Z, p, w1, w2, 3 outputs.
+    coord 'fp2' (G2): refs = X (2), Y (2), Z (2), p, w1, w2, 6 outputs."""
+    nc = 2 if coord == "fp2" else 1
+    nin = 3 * nc
+    ins, outs = refs[:nin], refs[nin + 3:]
     p_limbs, mont = _make_mont(
-        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
     )
+    F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
+    x, y, z = _rows_to_elems(F, _load_rows(ins), coord)
+    out = _pt_dbl_body(F, x, y, z)
+    _store_rows(outs, _elems_to_rows(out, coord))
+
+
+def _ptadd_kernel(*refs, n, tb, n0, mxu, coord):
+    """Fused complete Jacobian addition (curve.pt_add) with all cmov edge
+    cases resolved in-kernel, ONE launch.
+    coord 'fp': refs = P (3), Q (3), p, w1, w2, one-col, 3 outputs.
+    coord 'fp2': refs = P (6), Q (6), p, w1, w2, one-col, 6 outputs."""
+    nc = 2 if coord == "fp2" else 1
+    nin = 6 * nc
+    ins, outs = refs[:nin], refs[nin + 4:]
+    p_limbs, mont = _make_mont(
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    zero_rows = jnp.zeros((n, tb), jnp.uint32)
+    F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    elems = _rows_to_elems(F, rows, coord)
+    p_pt, q_pt = tuple(elems[:3]), tuple(elems[3:])
+    if coord == "fp2":
+        one = (one_rows, zero_rows)
+        zero = (zero_rows, zero_rows)
+    else:
+        one, zero = one_rows, zero_rows
+    out = _pt_add_body(F, p_pt, q_pt, (one, one, zero))
+    _store_rows(outs, _elems_to_rows(out, coord))
+
+
+def _sqr4mul_kernel(*refs, n, tb, n0, mxu):
+    """Fused 4-bit pow-window step: f^16 * m (4 Fp2 squarings + one Fp2
+    multiply, 11 Montgomery muls) in ONE launch — the body of the windowed
+    _fp2_pow_const scan (hash_to_g2).  refs: f (2), m (2), p, w1, w2,
+    2 outputs."""
+    ins, outs = refs[:4], refs[7:9]
+    p_limbs, mont = _make_mont(refs[4], refs[5], refs[6], n=n, tb=tb, n0=n0, mxu=mxu)
     f2 = _F2Rows(p_limbs, mont, n, tb)
-    Z = _group_f2(_load_rows(ins))
+    rows = _load_rows(ins)
+    f, m = (rows[0], rows[1]), (rows[2], rows[3])
+    for _ in range(4):
+        f = f2.sqr(f)
+    f = f2.mul(f, m)
+    _store_rows(outs, [f[0], f[1]])
+
+
+def _sqr4mul_fp_kernel(*refs, n, tb, n0, mxu):
+    """Fp sibling of _sqr4mul_kernel: f^16 * m (5 Montgomery muls) in ONE
+    launch — the body of FP.pow_const's windowed scan.  refs: f, m, p, w1,
+    w2, 1 output."""
+    p_limbs, mont = _make_mont(refs[2], refs[3], refs[4], n=n, tb=tb, n0=n0, mxu=mxu)
+    f = jnp.transpose(refs[0][:], (1, 0))
+    m = jnp.transpose(refs[1][:], (1, 0))
+    for _ in range(4):
+        f = mont(f, f)
+    refs[5][:] = jnp.transpose(mont(f, m), (1, 0))
+
+
+def _gs_body(f2, Z):
+    """One Granger-Scott cyclotomic square on GS z-ordered _F2Rows
+    elements (mirrors tower.fp12_cyclotomic_sqr's jnp fallback)."""
     f2add, f2sub, f2sqr, f2xi = f2.add, f2.sub, f2.sqr, f2.xi
 
     sums = [f2add(Z[0], Z[1]), f2add(Z[2], Z[3]), f2add(Z[4], Z[5])]
@@ -780,7 +945,7 @@ def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu):
         r = f2add(r, r)
         return f2add(r, t)
 
-    zn = [
+    return [
         m3m2(t00, Z[0]),
         p3p2(t01, Z[1]),
         p3p2(f2xi(t41), Z[2]),
@@ -788,6 +953,39 @@ def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu):
         m3m2(t20, Z[4]),
         p3p2(t21, Z[5]),
     ]
+
+
+def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu, count=1):
+    """Fused Granger-Scott cyclotomic square: 9 Fp2 squares (18 Montgomery
+    muls) + all xi/combination arithmetic in ONE launch (mirrors
+    tower.fp12_cyclotomic_sqr's jnp fallback / golden fp12_cyclotomic_sqr).
+
+    `count` > 1 iterates the square count times INSIDE the launch via
+    fori_loop (one kernel body in the IR regardless of run length) — the
+    final-exp x-chains' squaring runs become one launch per run instead of
+    one per squaring.
+
+    refs: z0c0, z0c1, ..., z5c0, z5c1 (12 inputs in the GS z-ordering —
+    the caller does the fp12<->z coefficient permutation), p, w1, w2,
+    then 12 outputs in the same z-ordering."""
+    ins = refs[:12]
+    outs = refs[15:27]
+    p_limbs, mont = _make_mont(
+        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    Z = _group_f2(_load_rows(ins))
+    if count == 1:
+        zn = _gs_body(f2, Z)
+    else:
+        def body(_, flat):
+            zz = _gs_body(f2, _group_f2(list(flat)))
+            return tuple(c for z in zz for c in z)
+
+        flat = jax.lax.fori_loop(
+            0, count, body, tuple(c for z in Z for c in z)
+        )
+        zn = _group_f2(list(flat))
     for i in range(6):
         outs[2 * i][:] = jnp.transpose(zn[i][0], (1, 0))
         outs[2 * i + 1][:] = jnp.transpose(zn[i][1], (1, 0))
@@ -809,6 +1007,7 @@ class FieldKernels:
             else ("cios3" if config.cios_v3 else "cios")
         )
         self.w1, self.w2 = _mont_matrices(field.modulus, self.n)
+        self.one_col = np.asarray(field.ONE, np.uint32).reshape(self.n, 1)
 
     @staticmethod
     def _compiler_params():
@@ -1009,14 +1208,55 @@ class FieldKernels:
         self._rec(38, 84, jnp.broadcast_shapes(*[x.shape for x in coords]))
         return self._tower_call(_addstep_kernel, list(coords), 12)
 
-    def cyclo_sqr(self, z_coords):
+    def sqr4_mul(self, coords):
+        """Fused pow-window step f^16 * m: coords = f (2) + m (2)."""
+        self._rec(11, 24, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        return self._tower_call(_sqr4mul_kernel, list(coords), 2)
+
+    def sqr4_mul_fp(self, f, m):
+        """Fused Fp pow-window step f^16 * m (FP.pow_const scan body)."""
+        self._rec(5, 0, jnp.broadcast_shapes(f.shape, m.shape))
+        return self._tower_call(_sqr4mul_fp_kernel, [f, m], 1)[0]
+
+    def pt_dbl(self, coords, coord):
+        """Fused Jacobian doubling (curve.pt_double): coords = the point's
+        limb tensors (3 for coord='fp', 6 component-major for 'fp2')."""
+        nc = 2 if coord == "fp2" else 1
+        self._rec(
+            17 if nc == 2 else 8,
+            40 if nc == 2 else 20,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        return self._tower_call(
+            _ptdbl_kernel, list(coords), 3 * nc, extra={"coord": coord}
+        )
+
+    def pt_add(self, coords, coord):
+        """Fused complete Jacobian addition (curve.pt_add): coords = P's
+        then Q's limb tensors (6 total for 'fp', 12 for 'fp2')."""
+        nc = 2 if coord == "fp2" else 1
+        self._rec(
+            58 if nc == 2 else 23,
+            110 if nc == 2 else 50,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        return self._tower_call(
+            _ptadd_kernel, list(coords), 3 * nc, extra={"coord": coord},
+            extra_consts=[self.one_col],
+        )
+
+    def cyclo_sqr(self, z_coords, count=1):
         """Fused Granger-Scott cyclotomic square: z_coords are the 12 limb
         tensors of the GS z-ordering (z0.c0, z0.c1, ..., z5.c1); returns 12
-        output tensors in the same layout."""
+        output tensors in the same layout.  `count` repeats the square
+        inside the launch (static run length)."""
         operands = list(z_coords)
         shape = jnp.broadcast_shapes(*[x.shape for x in operands])
-        self._rec(18, 70, shape)  # 9 fp2 squares + GS combination adds
-        return self._tower_call(_cyclo_sqr_kernel, operands, 12)
+        self._rec(18 * count, 70 * count, shape)
+        return self._tower_call(
+            _cyclo_sqr_kernel, operands, 12,
+            extra=({"count": count} if count != 1 else None),
+        )
 
     def fp2_mul(self, a0, a1, b0, b1):
         """Fused Karatsuba Fp2 product -> (c0, c1); operands (..., n) with a

@@ -417,6 +417,23 @@ def fp12_sqr(a):
     c1 = fp6_add(v0, v0)
     return (c0, c1)
 
+def fp12_cyclotomic_sqr_k(f, count: int):
+    """count successive Granger-Scott squares.  On TPU they run inside ONE
+    Pallas launch (fori_loop in-kernel), so a static squaring run of the
+    final-exp x-chain costs one launch + one HBM round-trip total."""
+    from ..utils.config import config
+
+    if FP._use_pallas() and config.fuse_cyclo and count > 0:
+        a, b = f
+        z = (a[0], b[1], b[0], a[2], a[1], b[2])
+        o = FP.kernels.cyclo_sqr([c for zz in z for c in zz], count=count)
+        zn = [(o[2 * i], o[2 * i + 1]) for i in range(6)]
+        return ((zn[0], zn[4], zn[3]), (zn[2], zn[1], zn[5]))
+    for _ in range(count):
+        f = fp12_cyclotomic_sqr(f)
+    return f
+
+
 def fp12_cyclotomic_sqr(f):
     """Granger-Scott squaring for cyclotomic-subgroup elements: 9 Fp2
     squares (one stacked call) + stacked combinations — half the multiplies

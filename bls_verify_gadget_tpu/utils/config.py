@@ -35,6 +35,13 @@ class Config:
     # fused Miller dbl/add step kernels (full CLN step + line coefficients
     # in one launch)
     fuse_steps: bool = os.environ.get("BLS_TPU_FUSE_STEPS", "1") == "1"
+    # fused Jacobian point double/add kernels (curve.pt_double/pt_add as
+    # ONE launch each, G1 and G2) — the scalar-mul ladders, cofactor
+    # clearing and subgroup checks become one launch per ladder step
+    fuse_pt: bool = os.environ.get("BLS_TPU_FUSE_PT", "1") == "1"
+    # fused 4-bit pow-window step kernels (4 squarings + table multiply in
+    # one launch) for the SSWU sqrt chains and Fermat inversions
+    fuse_pow: bool = os.environ.get("BLS_TPU_FUSE_POW", "1") == "1"
     # MXU Montgomery reduction: the a*b convolution stays on the VPU (lazy
     # lo/hi accumulation) and the reduction m = T*N' mod R, U = m*p runs as
     # two exact bf16 matmuls on the systolic array (8-bit limb planes keep

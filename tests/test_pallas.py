@@ -291,3 +291,119 @@ def test_miller_step_kernels_interpret():
     want_a = flat(taj, lineaj)
     for got, want in zip(oa, want_a):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pt_kernels_interpret():
+    """Fused Jacobian double/add kernels (G1 fp and G2 fp2 coords) vs the
+    jnp curve ops, covering the generic case plus every cmov edge case
+    (P==Q doubling, P==-Q infinity, P or Q at infinity)."""
+    from bls_verify_gadget_tpu.golden import bls as gbls
+    from bls_verify_gadget_tpu.ops import curve as CV
+
+    sks = [rng.randrange(1, C.R) for _ in range(4)]
+    g1s = [gbls.sk_to_pk(sk) for sk in sks]
+    g2s = [gbls.sign(sk, b"pt kernel test") for sk in sks]
+
+    for name, ops, enc, pts in (
+        ("fp", CV.FP_OPS, CV.g1_encode_batch, g1s),
+        ("fp2", CV.FP2_OPS, CV.g2_encode_batch, g2s),
+    ):
+        # P rows: [P0, P1, P2, inf, P3]; Q rows: [P1, P1, -P1, P0, inf]
+        if name == "fp":
+            neg = lambda p: (p[0], C.P - p[1])
+        else:
+            neg = lambda p: (p[0], (C.P - p[1][0], (C.P - p[1][1]) % C.P))
+        P = enc([pts[0], pts[1], pts[2], None, pts[3]])
+        Q = enc([pts[1], pts[1], neg(pts[2]), pts[0], None])
+        # make Z non-trivial on the P side: double via the jnp path
+        P = CV.pt_double(ops, P)
+        Qd = CV.pt_double(ops, Q)
+        want_d = CV.pt_double(ops, P)
+        want_a = CV.pt_add(ops, P, Qd)
+
+        K = FieldKernels(FP, tile=128)
+        with pltpu.force_tpu_interpret_mode():
+            od = K.pt_dbl(CV._fused_pt_coords(ops, [P]), name)
+            oa = K.pt_add(CV._fused_pt_coords(ops, [P, Qd]), name)
+        got_d = CV._fused_pt_unflat(ops, od)
+        got_a = CV._fused_pt_unflat(ops, oa)
+
+        for got, want in ((got_d, want_d), (got_a, want_a)):
+            gf = CV._fused_pt_coords(ops, [got])
+            wf = CV._fused_pt_coords(ops, [want])
+            for g, w in zip(gf, wf):
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(w), err_msg=name
+                )
+
+
+def test_sqr4_mul_kernels_interpret():
+    """Fused pow-window step kernels (Fp2 and Fp) vs golden f^16 * m."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 6
+    f2s = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    m2s = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    c = [jnp.asarray(FP.encode([v[k] for v in vs]))
+         for vs in (f2s, m2s) for k in range(2)]
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.sqr4_mul([c[0], c[1], c[2], c[3]])
+    got = list(zip(FP.decode(np.asarray(o[0])), FP.decode(np.asarray(o[1]))))
+    want = [
+        GF.fp2_mul(GF.fp2_pow(f, 16), m) for f, m in zip(f2s, m2s)
+    ]
+    assert got == want
+
+    fs, ms = _vals(B, C.P), _vals(B, C.P)
+    af = jnp.asarray(FP.encode(fs))
+    am = jnp.asarray(FP.encode(ms))
+    with pltpu.force_tpu_interpret_mode():
+        o = K.sqr4_mul_fp(af, am)
+    assert FP.decode(np.asarray(o)) == [
+        pow(f, 16, C.P) * m % C.P for f, m in zip(fs, ms)
+    ]
+
+
+def test_cyclo_sqr_multi_interpret():
+    """cyclo_sqr with count > 1 (fori_loop inside the kernel) == count
+    successive golden Granger-Scott squares, on genuine cyclotomic
+    elements."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    elems = []
+    for _ in range(2):
+        f = tuple(
+            tuple((rng.randrange(1, C.P), rng.randrange(C.P)) for _ in range(3))
+            for _ in range(2)
+        )
+        g = GF.fp12_mul(GF.fp12_frob(f, 6), GF.fp12_inv(f))
+        g = GF.fp12_mul(GF.fp12_frob(g, 2), g)
+        elems.append(g)
+    zsel = [(0, 0), (1, 1), (1, 0), (0, 2), (0, 1), (1, 2)]
+    zc = []
+    for (i, j) in zsel:
+        zc.append(jnp.asarray(FP.encode([g[i][j][0] for g in elems])))
+        zc.append(jnp.asarray(FP.encode([g[i][j][1] for g in elems])))
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.cyclo_sqr(zc, count=3)
+    zn = [
+        (FP.decode(np.asarray(o[2 * i])), FP.decode(np.asarray(o[2 * i + 1])))
+        for i in range(6)
+    ]
+
+    def fp2_at(zi, k):
+        return (zn[zi][0][k], zn[zi][1][k])
+
+    got = [
+        ((fp2_at(0, k), fp2_at(4, k), fp2_at(3, k)),
+         (fp2_at(2, k), fp2_at(1, k), fp2_at(5, k)))
+        for k in range(len(elems))
+    ]
+    want = []
+    for g in elems:
+        for _ in range(3):
+            g = GF.fp12_cyclotomic_sqr(g)
+        want.append(g)
+    assert got == want

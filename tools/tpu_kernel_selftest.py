@@ -228,6 +228,73 @@ def main():
     want = [FP.decode(np.asarray(x)) for x in flat_step(taj, lineaj)]
     check("add_step", got, want)
 
+    # fused Jacobian point kernels (G1 fp / G2 fp2), all cmov edge cases
+    from bls_verify_gadget_tpu.ops import curve as CV
+    from bls_verify_gadget_tpu.utils.config import config as _cfg
+
+    g1s = [gbls.sk_to_pk(s) for s in sks[:4]]
+    g2s = [gbls.sign(s, b"pt selftest") for s in sks[:4]]
+    old_pt = _cfg.fuse_pt
+    _cfg.fuse_pt = False  # reference = stacked jnp path
+    try:
+        for nm, ops_, enc, pts in (
+            ("fp", CV.FP_OPS, CV.g1_encode_batch, g1s),
+            ("fp2", CV.FP2_OPS, CV.g2_encode_batch, g2s),
+        ):
+            if nm == "fp":
+                neg = lambda p: (p[0], C.P - p[1])
+            else:
+                neg = lambda p: (p[0], (C.P - p[1][0], (C.P - p[1][1]) % C.P))
+            P = enc([pts[0], pts[1], pts[2], None, pts[3]])
+            Q = enc([pts[1], pts[1], neg(pts[2]), pts[0], None])
+            P = jax.jit(lambda p: CV.pt_double(ops_, p))(P)
+            Qd = jax.jit(lambda q: CV.pt_double(ops_, q))(Q)
+            want_d = jax.jit(lambda p: CV.pt_double(ops_, p))(P)
+            want_a = jax.jit(lambda p, q: CV.pt_add(ops_, p, q))(P, Qd)
+            od = jax.jit(lambda cs: KS.pt_dbl(cs, nm))(
+                CV._fused_pt_coords(ops_, [P])
+            )
+            oa = jax.jit(lambda cs: KS.pt_add(cs, nm))(
+                CV._fused_pt_coords(ops_, [P, Qd])
+            )
+            wd = CV._fused_pt_coords(ops_, [want_d])
+            wa = CV._fused_pt_coords(ops_, [want_a])
+            okd = all(
+                np.array_equal(np.asarray(g), np.asarray(w))
+                for g, w in zip(od, wd)
+            )
+            oka = all(
+                np.array_equal(np.asarray(g), np.asarray(w))
+                for g, w in zip(oa, wa)
+            )
+            check(f"pt_dbl[{nm}]", okd, True)
+            check(f"pt_add[{nm}]", oka, True)
+    finally:
+        _cfg.fuse_pt = old_pt
+
+    # fused pow-window step kernels (Fp2 + Fp)
+    f2v = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    m2v = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    cc = [
+        jnp.asarray(FP.encode([v[k] for v in vs]))
+        for vs in (f2v, m2v)
+        for k in range(2)
+    ]
+    o = jax.jit(K.sqr4_mul)(cc)
+    got = list(zip(FP.decode(np.asarray(o[0])), FP.decode(np.asarray(o[1]))))
+    check(
+        "sqr4_mul[fp2]",
+        got,
+        [GF.fp2_mul(GF.fp2_pow(f, 16), m) for f, m in zip(f2v, m2v)],
+    )
+    fv, mv = [rng.randrange(C.P) for _ in range(B)], [rng.randrange(C.P) for _ in range(B)]
+    o = jax.jit(K.sqr4_mul_fp)(jnp.asarray(FP.encode(fv)), jnp.asarray(FP.encode(mv)))
+    check(
+        "sqr4_mul[fp]",
+        FP.decode(np.asarray(o)),
+        [pow(f, 16, C.P) * m % C.P for f, m in zip(fv, mv)],
+    )
+
     # Fr kernel
     xr = [rng.randrange(C.R) for _ in range(B)]
     yr = [rng.randrange(C.R) for _ in range(B)]
