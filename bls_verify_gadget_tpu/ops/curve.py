@@ -267,6 +267,14 @@ def pt_mul_const(ops, p, scalar: int):
     def dbl_scan(pt, count):
         if count == 0:
             return pt
+        if _use_fused_pt():
+            # whole static doubling run inside ONE launch (fori_loop)
+            return _fused_pt_unflat(
+                ops,
+                FP.kernels.pt_dbl(
+                    _fused_pt_coords(ops, [pt]), ops.name, count=count
+                ),
+            )
         if count <= 2:
             for _ in range(count):
                 pt = pt_double(ops, pt)

@@ -850,10 +850,12 @@ def _elems_to_rows(elems, coord):
     return list(elems)
 
 
-def _ptdbl_kernel(*refs, n, tb, n0, mxu, coord):
+def _ptdbl_kernel(*refs, n, tb, n0, mxu, coord, count=1):
     """Fused Jacobian point doubling (curve.pt_double), ONE launch.
     coord 'fp' (G1): refs = X, Y, Z, p, w1, w2, 3 outputs.
-    coord 'fp2' (G2): refs = X (2), Y (2), Z (2), p, w1, w2, 6 outputs."""
+    coord 'fp2' (G2): refs = X (2), Y (2), Z (2), p, w1, w2, 6 outputs.
+    `count` > 1 iterates the doubling in-kernel via fori_loop — a ladder's
+    doubling run costs one launch + one HBM round-trip total."""
     nc = 2 if coord == "fp2" else 1
     nin = 3 * nc
     ins, outs = refs[:nin], refs[nin + 3:]
@@ -861,8 +863,18 @@ def _ptdbl_kernel(*refs, n, tb, n0, mxu, coord):
         refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
     )
     F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
-    x, y, z = _rows_to_elems(F, _load_rows(ins), coord)
-    out = _pt_dbl_body(F, x, y, z)
+    elems = _rows_to_elems(F, _load_rows(ins), coord)
+    if count == 1:
+        out = _pt_dbl_body(F, *elems)
+    else:
+        def body(_, flat):
+            o = _pt_dbl_body(F, *_rows_to_elems(F, list(flat), coord))
+            return tuple(_elems_to_rows(o, coord))
+
+        flat = jax.lax.fori_loop(
+            0, count, body, tuple(_elems_to_rows(elems, coord))
+        )
+        out = _rows_to_elems(F, list(flat), coord)
     _store_rows(outs, _elems_to_rows(out, coord))
 
 
@@ -1218,17 +1230,22 @@ class FieldKernels:
         self._rec(5, 0, jnp.broadcast_shapes(f.shape, m.shape))
         return self._tower_call(_sqr4mul_fp_kernel, [f, m], 1)[0]
 
-    def pt_dbl(self, coords, coord):
+    def pt_dbl(self, coords, coord, count=1):
         """Fused Jacobian doubling (curve.pt_double): coords = the point's
-        limb tensors (3 for coord='fp', 6 component-major for 'fp2')."""
+        limb tensors (3 for coord='fp', 6 component-major for 'fp2').
+        `count` repeats the doubling inside the launch (static run
+        length)."""
         nc = 2 if coord == "fp2" else 1
         self._rec(
-            17 if nc == 2 else 8,
-            40 if nc == 2 else 20,
+            (17 if nc == 2 else 8) * count,
+            (40 if nc == 2 else 20) * count,
             jnp.broadcast_shapes(*[x.shape for x in coords]),
         )
+        extra = {"coord": coord}
+        if count != 1:
+            extra["count"] = count
         return self._tower_call(
-            _ptdbl_kernel, list(coords), 3 * nc, extra={"coord": coord}
+            _ptdbl_kernel, list(coords), 3 * nc, extra=extra
         )
 
     def pt_add(self, coords, coord):

@@ -407,3 +407,25 @@ def test_cyclo_sqr_multi_interpret():
             g = GF.fp12_cyclotomic_sqr(g)
         want.append(g)
     assert got == want
+
+
+def test_pt_dbl_multi_interpret():
+    """pt_dbl with count > 1 (fori_loop in-kernel) == count successive jnp
+    pt_double calls."""
+    from bls_verify_gadget_tpu.golden import bls as gbls
+    from bls_verify_gadget_tpu.ops import curve as CV
+
+    g2s = [gbls.sign(rng.randrange(1, C.R), b"pt run test") for _ in range(3)]
+    P = CV.g2_encode_batch(g2s + [None])
+    want = P
+    for _ in range(4):
+        want = CV.pt_double(CV.FP2_OPS, want)
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pt_dbl(CV._fused_pt_coords(CV.FP2_OPS, [P]), "fp2", count=4)
+    got = CV._fused_pt_unflat(CV.FP2_OPS, o)
+    for g, w in zip(
+        CV._fused_pt_coords(CV.FP2_OPS, [got]),
+        CV._fused_pt_coords(CV.FP2_OPS, [want]),
+    ):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
