@@ -320,10 +320,17 @@ class ModField:
         from ..utils.config import config
 
         if self._use_pallas() and config.fuse_pow:
-            # fused window step: 4 squarings + the table multiply in ONE
-            # Pallas launch (the table gather stays outside the kernel)
+            # fused window steps, 4 windows per Pallas launch (leading
+            # zero-window padding keeps the value exact: 1^16 * a^0 == 1)
+            K = 4
+            pad = (-len(digits)) % K
+            dig_arr = jnp.asarray(
+                np.array([0] * pad + digits, np.uint32).reshape(-1, K)
+            )
+
             def body(f, d):
-                return self.kernels.sqr4_mul_fp(f, table[d]), None
+                ms = [table[d[j]] for j in range(K)]
+                return self.kernels.sqr4_mul_fp(f, ms), None
         else:
             def body(f, d):
                 for _ in range(w):

@@ -86,10 +86,20 @@ def _fp2_pow_const(a, exponent: int):
     from ..utils.config import config
 
     if T.FP._use_pallas() and config.fuse_pow:
-        # fused window step: 4 squarings + the table multiply in ONE
-        # Pallas launch (the table gather stays outside the kernel)
+        # fused window steps, 4 windows per Pallas launch.  Leading digits
+        # pad with zero windows: f stays one through them (1^16 * tab[0]
+        # == 1), so the value is exact for any window count.
+        K = 4
+        pad = (-len(digits)) % K
+        dig_arr = jnp.asarray(
+            np.array([0] * pad + digits, np.uint32).reshape(-1, K)
+        )
+
         def body(f, d):
-            o = T.FP.kernels.sqr4_mul([f[0], f[1], t0[d], t1[d]])
+            coords = [f[0], f[1]]
+            for j in range(K):
+                coords += [t0[d[j]], t1[d[j]]]
+            o = T.FP.kernels.sqr4_mul(coords)
             return (o[0], o[1]), None
     else:
         def body(f, d):

@@ -904,32 +904,41 @@ def _ptadd_kernel(*refs, n, tb, n0, mxu, coord):
     _store_rows(outs, _elems_to_rows(out, coord))
 
 
-def _sqr4mul_kernel(*refs, n, tb, n0, mxu):
-    """Fused 4-bit pow-window step: f^16 * m (4 Fp2 squarings + one Fp2
-    multiply, 11 Montgomery muls) in ONE launch — the body of the windowed
-    _fp2_pow_const scan (hash_to_g2).  refs: f (2), m (2), p, w1, w2,
+def _sqr4mul_kernel(*refs, n, tb, n0, mxu, k=1):
+    """Fused 4-bit pow-window steps: k rounds of (f^16 * m_j), 11 Montgomery
+    muls per round, in ONE launch — the body of the windowed _fp2_pow_const
+    scan (hash_to_g2).  refs: f (2), m_0..m_{k-1} (2k), p, w1, w2,
     2 outputs."""
-    ins, outs = refs[:4], refs[7:9]
-    p_limbs, mont = _make_mont(refs[4], refs[5], refs[6], n=n, tb=tb, n0=n0, mxu=mxu)
+    nin = 2 + 2 * k
+    ins, outs = refs[:nin], refs[nin + 3:nin + 5]
+    p_limbs, mont = _make_mont(
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
     f2 = _F2Rows(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
-    f, m = (rows[0], rows[1]), (rows[2], rows[3])
-    for _ in range(4):
-        f = f2.sqr(f)
-    f = f2.mul(f, m)
+    f = (rows[0], rows[1])
+    for j in range(k):
+        for _ in range(4):
+            f = f2.sqr(f)
+        f = f2.mul(f, (rows[2 + 2 * j], rows[3 + 2 * j]))
     _store_rows(outs, [f[0], f[1]])
 
 
-def _sqr4mul_fp_kernel(*refs, n, tb, n0, mxu):
-    """Fp sibling of _sqr4mul_kernel: f^16 * m (5 Montgomery muls) in ONE
-    launch — the body of FP.pow_const's windowed scan.  refs: f, m, p, w1,
-    w2, 1 output."""
-    p_limbs, mont = _make_mont(refs[2], refs[3], refs[4], n=n, tb=tb, n0=n0, mxu=mxu)
+def _sqr4mul_fp_kernel(*refs, n, tb, n0, mxu, k=1):
+    """Fp sibling of _sqr4mul_kernel: k rounds of f^16 * m_j (5 Montgomery
+    muls per round) in ONE launch — the body of FP.pow_const's windowed
+    scan.  refs: f, m_0..m_{k-1}, p, w1, w2, 1 output."""
+    nin = 1 + k
+    p_limbs, mont = _make_mont(
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
     f = jnp.transpose(refs[0][:], (1, 0))
-    m = jnp.transpose(refs[1][:], (1, 0))
-    for _ in range(4):
-        f = mont(f, f)
-    refs[5][:] = jnp.transpose(mont(f, m), (1, 0))
+    for j in range(k):
+        m = jnp.transpose(refs[1 + j][:], (1, 0))
+        for _ in range(4):
+            f = mont(f, f)
+        f = mont(f, m)
+    refs[nin + 3][:] = jnp.transpose(f, (1, 0))
 
 
 def _gs_body(f2, Z):
@@ -1221,14 +1230,26 @@ class FieldKernels:
         return self._tower_call(_addstep_kernel, list(coords), 12)
 
     def sqr4_mul(self, coords):
-        """Fused pow-window step f^16 * m: coords = f (2) + m (2)."""
-        self._rec(11, 24, jnp.broadcast_shapes(*[x.shape for x in coords]))
-        return self._tower_call(_sqr4mul_kernel, list(coords), 2)
+        """Fused pow-window steps: coords = f (2) + k table entries (2k);
+        applies k rounds of f^16 * m_j in one launch."""
+        k = (len(coords) - 2) // 2
+        self._rec(
+            11 * k, 24 * k, jnp.broadcast_shapes(*[x.shape for x in coords])
+        )
+        return self._tower_call(
+            _sqr4mul_kernel, list(coords), 2,
+            extra=({"k": k} if k != 1 else None),
+        )
 
-    def sqr4_mul_fp(self, f, m):
-        """Fused Fp pow-window step f^16 * m (FP.pow_const scan body)."""
-        self._rec(5, 0, jnp.broadcast_shapes(f.shape, m.shape))
-        return self._tower_call(_sqr4mul_fp_kernel, [f, m], 1)[0]
+    def sqr4_mul_fp(self, f, ms):
+        """Fused Fp pow-window steps: k rounds of f^16 * m_j in one launch
+        (FP.pow_const scan body).  ms: list of k table entries."""
+        k = len(ms)
+        self._rec(5 * k, 0, jnp.broadcast_shapes(*[x.shape for x in [f] + ms]))
+        return self._tower_call(
+            _sqr4mul_fp_kernel, [f] + list(ms), 1,
+            extra=({"k": k} if k != 1 else None),
+        )[0]
 
     def pt_dbl(self, coords, coord, count=1):
         """Fused Jacobian doubling (curve.pt_double): coords = the point's

@@ -355,13 +355,32 @@ def test_sqr4_mul_kernels_interpret():
     ]
     assert got == want
 
+    # k=2 multi-window variant: (f^16 m1)^16 m2
+    m2b = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    c2 = c + [jnp.asarray(FP.encode([v[k] for v in m2b])) for k in range(2)]
+    with pltpu.force_tpu_interpret_mode():
+        o = K.sqr4_mul([c2[0], c2[1], c2[2], c2[3], c2[4], c2[5]])
+    got = list(zip(FP.decode(np.asarray(o[0])), FP.decode(np.asarray(o[1]))))
+    want = [
+        GF.fp2_mul(GF.fp2_pow(GF.fp2_mul(GF.fp2_pow(f, 16), m), 16), m2)
+        for f, m, m2 in zip(f2s, m2s, m2b)
+    ]
+    assert got == want
+
     fs, ms = _vals(B, C.P), _vals(B, C.P)
+    ms2 = _vals(B, C.P)
     af = jnp.asarray(FP.encode(fs))
     am = jnp.asarray(FP.encode(ms))
+    am2 = jnp.asarray(FP.encode(ms2))
     with pltpu.force_tpu_interpret_mode():
-        o = K.sqr4_mul_fp(af, am)
+        o = K.sqr4_mul_fp(af, [am])
+        o2 = K.sqr4_mul_fp(af, [am, am2])
     assert FP.decode(np.asarray(o)) == [
         pow(f, 16, C.P) * m % C.P for f, m in zip(fs, ms)
+    ]
+    assert FP.decode(np.asarray(o2)) == [
+        pow(pow(f, 16, C.P) * m % C.P, 16, C.P) * m2 % C.P
+        for f, m, m2 in zip(fs, ms, ms2)
     ]
 
 

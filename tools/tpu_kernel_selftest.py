@@ -288,7 +288,9 @@ def main():
         [GF.fp2_mul(GF.fp2_pow(f, 16), m) for f, m in zip(f2v, m2v)],
     )
     fv, mv = [rng.randrange(C.P) for _ in range(B)], [rng.randrange(C.P) for _ in range(B)]
-    o = jax.jit(K.sqr4_mul_fp)(jnp.asarray(FP.encode(fv)), jnp.asarray(FP.encode(mv)))
+    o = jax.jit(lambda f, m: K.sqr4_mul_fp(f, [m]))(
+        jnp.asarray(FP.encode(fv)), jnp.asarray(FP.encode(mv))
+    )
     check(
         "sqr4_mul[fp]",
         FP.decode(np.asarray(o)),
