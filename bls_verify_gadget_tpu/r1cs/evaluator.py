@@ -55,6 +55,40 @@ def prepare(arrays):
     for side in "abc":
         out[f"{side}_idx"] = np.asarray(arrays[f"{side}_idx"], np.int32)
         out[f"{side}_coeff"] = _encode_coeffs(arrays[f"{side}_coeff"])
+    for k in ("aux_var", "aux_row"):
+        if k in arrays:
+            out[k] = np.asarray(arrays[k], np.int32)
+    return out
+
+
+def complete_witness(prepared, witness):
+    """Materialise the LC-split auxiliary partial-sum variables ON DEVICE.
+
+    witness: (B, num_vars, L) with the base (gadget-allocated) columns
+    filled and the aux columns arbitrary (e.g. zero).  Each aux variable's
+    value is the A-side dot of its binding constraint (tail * 1 = s,
+    system._cap_row_widths); a tail may reference later-appended aux vars,
+    so the scan runs in REVERSE append order (later rows never reference
+    earlier aux vars).  Returns the fully populated witness."""
+    aux_var = prepared.get("aux_var")
+    if aux_var is None or len(aux_var) == 0:
+        return witness
+    rows = prepared["aux_row"]
+    idx = jnp.asarray(prepared["a_idx"][rows][::-1])        # (N, W)
+    coeff = jnp.asarray(prepared["a_coeff"][rows][::-1])    # (N, W, L)
+    var = jnp.asarray(aux_var[::-1].astype(np.int32))       # (N,)
+
+    def body(w, xs):
+        vi, ri, rc = xs
+        vals = w[:, ri, :]                   # (B, W, L)
+        prods = FP.mul(vals, rc)
+        acc = prods[:, 0, :]
+        for j in range(1, prods.shape[1]):
+            acc = FP.add(acc, prods[:, j, :])
+        w = jax.lax.dynamic_update_slice(w, acc[:, None, :], (0, vi, 0))
+        return w, None
+
+    out, _ = jax.lax.scan(body, jnp.asarray(witness), (var, idx, coeff))
     return out
 
 

@@ -33,6 +33,10 @@ class ConstraintSystem:
         self.b_rows: list = []
         self.c_rows: list = []
         self.names: list = []
+        # (aux var index, constraint row index) pairs appended by LC-width
+        # capping — exported by to_arrays so device-side witness generation
+        # can materialise the partial sums (evaluator.complete_witness)
+        self.aux_splits: list = []
 
     # ------------------------------------------------------------------
     # allocation
@@ -126,6 +130,11 @@ class ConstraintSystem:
             "b_idx": bi, "b_coeff": bc,
             "c_idx": ci, "c_coeff": cc,
             "num_vars": self.num_vars,
+            # LC-split partial-sum variables, in append order; a split row's
+            # tail may reference LATER-appended aux vars, so consumers
+            # materialise them in REVERSE order (evaluator.complete_witness)
+            "aux_var": np.asarray([s for s, _ in self.aux_splits], np.int32),
+            "aux_row": np.asarray([r for _, r in self.aux_splits], np.int32),
         }
 
     def _cap_row_widths(self, row_width: int):
@@ -142,5 +151,6 @@ class ConstraintSystem:
                     self.a_rows.append(list(tail))
                     self.b_rows.append([(0, 1)])
                     self.c_rows.append([(s, 1)])
+                    self.aux_splits.append((s, len(self.a_rows) - 1))
                     rows[i] = head + [(s, 1)]
             i += 1

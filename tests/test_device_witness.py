@@ -71,3 +71,30 @@ def test_limbs_variant_matches_encoded_assignments():
     want = EV.encode_witness_batch([cs.assignments[start:]])[0]
     assert got.shape == want.shape
     assert (got == np.asarray(want)).all()
+
+
+def test_complete_witness_aux_splits():
+    """evaluator.complete_witness fills the LC-split partial sums exactly
+    as the host capping did (reverse-order dependency chain), and the
+    completed device witness satisfies the exported circuit."""
+    from bls_verify_gadget_tpu.r1cs import evaluator as EV
+    from bls_verify_gadget_tpu.ops.fp import FP
+
+    msg = bytes(rng.randrange(256) for _ in range(24))
+    cs = ConstraintSystem()
+    msg_vars = [UInt8.alloc(cs, b) for b in msg]
+    sha256_gadget(cs, msg_vars)
+    n_base = len(cs.assignments)
+    prepared = EV.prepare(cs.to_arrays())
+    assert len(prepared["aux_var"]) > 0, "SHA LCs must have split"
+    assert cs.is_satisfied()
+
+    host_full = EV.encode_witness_batch([cs.assignments])  # (1, W, L)
+    base = jnp.asarray(host_full[:, :n_base])
+    padded = jnp.pad(
+        base, ((0, 0), (0, prepared["num_vars"] - n_base), (0, 0))
+    )
+    dev_full = np.asarray(EV.complete_witness(prepared, padded))
+    assert (dev_full == np.asarray(host_full)).all()
+    ok = np.asarray(EV.check_satisfied(prepared, dev_full))
+    assert ok.all()

@@ -1,0 +1,129 @@
+"""R1CS constraint-evaluation throughput: rows/s through the TPU-batched
+evaluator, with the witness batch generated ON DEVICE (r1cs/device_witness).
+
+Circuit: the SHA-256 gadget over a 24-byte message (the reference's
+Sha256Gadget tier, src/hasher.rs:19,139) — ~29.4k rows.  The full witness
+batch is produced device-side: constant-ONE + message bit planes + the SHA
+trace segment, every value in the 3-entry Montgomery table [0, 1, p-1].
+
+Prints ONE JSON line: {"metric": "r1cs_eval_rows_per_s", ...} — the
+"constraint-evaluation rows/s" metric BASELINE.md commits to.
+
+Usage: python tools/bench_r1cs.py [--batch 1024] [--iters 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/bls_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if "--cpu" in sys.argv:  # before any backend touch (sitecustomize pins TPU)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+MSG_LEN = 24
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from bls_verify_gadget_tpu import constants as C
+    from bls_verify_gadget_tpu.ops.fp import FP
+    from bls_verify_gadget_tpu.r1cs.system import ConstraintSystem
+    from bls_verify_gadget_tpu.r1cs.gadgets import UInt8
+    from bls_verify_gadget_tpu.r1cs.sha256 import sha256_gadget
+    from bls_verify_gadget_tpu.r1cs import device_witness as DW
+    from bls_verify_gadget_tpu.r1cs import evaluator as EV
+
+    # one-time host circuit build (structure only; witnesses come from the
+    # device path below)
+    rng = np.random.RandomState(0)
+    proto_msg = bytes(int(b) for b in rng.randint(0, 256, MSG_LEN))
+    cs = ConstraintSystem()
+    msg_vars = [UInt8.alloc(cs, b) for b in proto_msg]
+    sha256_gadget(cs, msg_vars)
+    n_rows = cs.num_constraints
+    prepared = EV.prepare(cs.to_arrays())
+
+    B = args.batch
+    msgs = rng.randint(0, 256, (B, MSG_LEN)).astype(np.uint32)
+    table = jnp.asarray(FP.encode([0, 1, C.P - 1]))  # (3, NLIMB)
+
+    def witness_batch(msgs_u32):
+        """Full witness limbs (B, num_vars, NLIMB), entirely on device:
+        index 0 is the constant ONE, then 8 LSB-first bit witnesses per
+        message byte (UInt8.alloc order), then the SHA trace segment, then
+        the LC-split partial sums via evaluator.complete_witness."""
+        bshape = msgs_u32.shape[0]
+        one_idx = jnp.ones((bshape, 1), jnp.uint32)
+        sh = jnp.arange(8, dtype=jnp.uint32)[None, None, :]
+        bit_idx = ((msgs_u32[:, :, None] >> sh) & 1).reshape(bshape, -1)
+        sha_idx = DW.sha256_gadget_witness_indices(msgs_u32, MSG_LEN)
+        base = table[jnp.concatenate([one_idx, bit_idx, sha_idx], axis=1)]
+        pad = prepared["num_vars"] - base.shape[1]
+        w = jnp.pad(base, ((0, 0), (0, pad), (0, 0)))
+        return EV.complete_witness(prepared, w)
+
+    # witness mirror runs eagerly (its many-small-plane graph is a compile
+    # sink under jit; op-by-op dispatch is fine for a one-shot per batch);
+    # the chunk-scanned evaluator is the jitted, timed hot loop
+    wit_fn = witness_batch
+    ev_fn = jax.jit(lambda w: EV.check_satisfied(prepared, w))
+
+    msgs_d = jnp.asarray(msgs)
+    t0 = time.time()
+    wit = jax.block_until_ready(wit_fn(msgs_d))
+    wit_compile_s = time.time() - t0
+    t0 = time.time()
+    ok = jax.device_get(ev_fn(wit))
+    compile_s = time.time() - t0
+    assert ok.shape == (B,) and ok.all(), "good witnesses must satisfy"
+
+    # negative probe: corrupt one element's first SHA-segment witness
+    bad = wit.at[0, 1 + 8 * MSG_LEN].set(table[2])
+    ok_bad = jax.device_get(ev_fn(bad))
+    assert not ok_bad[0] and ok_bad[1:].all(), "corrupted witness must fail"
+
+    times, wtimes = [], []
+    for _ in range(args.iters):
+        t0 = time.time()
+        w = jax.block_until_ready(wit_fn(msgs_d))
+        wtimes.append(time.time() - t0)
+        t0 = time.time()
+        jax.device_get(ev_fn(w))
+        times.append(time.time() - t0)
+    best = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": "r1cs_eval_rows_per_s",
+                "value": round(n_rows * B / best),
+                "unit": "constraint-rows/s",
+                "rows": n_rows,
+                "batch": B,
+                "steady_state_s": round(best, 4),
+                "compile_plus_first_run_s": round(compile_s + wit_compile_s, 1),
+                "witness_gen": "device",
+                "witness_gen_s": round(min(wtimes), 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
