@@ -186,6 +186,39 @@ def _compress(state, block_words, em):
     ]
 
 
+def _sha_stream(byts, em, batch):
+    """One sha256_gadget call over a mixed const/witness byte stream:
+    byts = list of (value (B,) uint32, is_const) pairs — the gadget's
+    msg_bytes argument.  Appends the host-static padding, emits the trace
+    segment into `em`, and returns the 32 digest bytes as (value, False)
+    pairs (digest bits are always fresh addmany witnesses)."""
+    L = len(byts)
+    pad = [0x80]
+    while (L + len(pad)) % 64 != 56:
+        pad.append(0)
+    bitlen = L * 8
+    pad += [(bitlen >> (8 * (7 - i))) & 0xFF for i in range(8)]
+    data = byts + [(jnp.full((batch,), p, jnp.uint32), True) for p in pad]
+
+    state = [_const_word(batch, iv) for iv in SHA256_IV]
+    for off in range(0, len(data), 64):
+        words = []
+        for i in range(16):
+            b4 = data[off + 4 * i : off + 4 * i + 4]
+            val = (b4[0][0] << 24) | (b4[1][0] << 16) | (b4[2][0] << 8) | b4[3][0]
+            cm = 0
+            for k, (_, is_c) in enumerate(b4):  # byte k holds bits 24-8k..31-8k
+                if is_c:
+                    cm |= 0xFF << (24 - 8 * k)
+            words.append(_W(val, cm))
+        state = _compress(state, words, em)
+    out = []
+    for w in state:  # _u32_to_bytes_be order
+        for k in (24, 16, 8, 0):
+            out.append(((w.val >> k) & 0xFF, False))
+    return out
+
+
 def sha256_gadget_witness_indices(msgs_u8, msg_len: int):
     """Mirror of r1cs/sha256.sha256_gadget's witness allocation stream.
 
@@ -197,30 +230,46 @@ def sha256_gadget_witness_indices(msgs_u8, msg_len: int):
     included; they precede this segment)."""
     msgs_u8 = jnp.asarray(msgs_u8, jnp.uint32)
     B = msgs_u8.shape[0]
-    L = msg_len
-    pad = [0x80]
-    while (L + len(pad)) % 64 != 56:
-        pad.append(0)
-    bitlen = L * 8
-    pad += [(bitlen >> (8 * (7 - i))) & 0xFF for i in range(8)]
-
-    # bytes: (value (B,), const flag)
-    byts = [(msgs_u8[:, i], False) for i in range(L)] + [
-        (jnp.full((B,), p, jnp.uint32), True) for p in pad
-    ]
     em = _Emitter()
-    state = [_const_word(B, iv) for iv in SHA256_IV]
-    for off in range(0, len(byts), 64):
-        words = []
-        for i in range(16):
-            b4 = byts[off + 4 * i : off + 4 * i + 4]
-            val = (b4[0][0] << 24) | (b4[1][0] << 16) | (b4[2][0] << 8) | b4[3][0]
-            cm = 0
-            for k, (_, is_c) in enumerate(b4):  # byte k holds bits 24-8k..31-8k
-                if is_c:
-                    cm |= 0xFF << (24 - 8 * k)
-            words.append(_W(val, cm))
-        state = _compress(state, words, em)
+    _sha_stream([(msgs_u8[:, i], False) for i in range(msg_len)], em, B)
+    return em.concat()
+
+
+def xmd_witness_indices(msgs_u8, msg_len: int, dst: bytes, len_in_bytes: int):
+    """Mirror of r1cs/hasher.expand_message_xmd_gadget's witness stream
+    (which is also hash_to_field_gadget's whole stream — the byte-to-field
+    recombination is a pure linear combination, zero witnesses).
+
+    Segments, in allocation order: the b0 SHA over Z_pad||msg||lib||0||DST',
+    the b1 SHA over b0||1||DST', then per extra block the 256 Boolean.xor
+    bits of b0^prev (all fresh: both operands are witness bits) followed by
+    that block's SHA.  Returns (B, W) indices into [0, 1, p-1]."""
+    msgs_u8 = jnp.asarray(msgs_u8, jnp.uint32)
+    B = msgs_u8.shape[0]
+    ell = -(-len_in_bytes // 32)
+    assert ell <= 255 and len(dst) <= 255
+
+    def const_bytes(bs):
+        return [(jnp.full((B,), b, jnp.uint32), True) for b in bs]
+
+    dst_prime = const_bytes(dst + bytes([len(dst)]))
+    em = _Emitter()
+    b0_in = (
+        const_bytes([0] * 64)
+        + [(msgs_u8[:, i], False) for i in range(msg_len)]
+        + const_bytes(len_in_bytes.to_bytes(2, "big"))
+        + const_bytes([0])
+        + dst_prime
+    )
+    b0 = _sha_stream(b0_in, em, B)
+    prev = _sha_stream(b0 + const_bytes([1]) + dst_prime, em, B)
+    for i in range(2, ell + 1):
+        x = []
+        for (av, _), (bv, _) in zip(b0, prev):
+            xv = av ^ bv
+            em.bits(xv, list(range(8)))  # UInt8.xor: 8 fresh bits, LSB first
+            x.append((xv, False))
+        prev = _sha_stream(x + const_bytes([i]) + dst_prime, em, B)
     return em.concat()
 
 

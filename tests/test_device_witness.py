@@ -98,3 +98,32 @@ def test_complete_witness_aux_splits():
     assert (dev_full == np.asarray(host_full)).all()
     ok = np.asarray(EV.check_satisfied(prepared, dev_full))
     assert ok.all()
+
+
+def test_xmd_witness_segment():
+    """Device XMD witness mirror vs the expand_message_xmd gadget's own
+    allocation stream (b0/b1 SHA segments + per-block xor bits), at the
+    hash_to_field length (ell=8, 256 bytes) and a short 1-extra-block
+    length."""
+    from bls_verify_gadget_tpu.r1cs.hasher import expand_message_xmd_gadget
+    from bls_verify_gadget_tpu.r1cs import device_witness as DW
+
+    for lib in (64, 256):
+        msgs = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(2)]
+        host = []
+        for m in msgs:
+            cs = ConstraintSystem()
+            mv = [UInt8.alloc(cs, b) for b in m]
+            start = len(cs.assignments)
+            expand_message_xmd_gadget(cs, mv, C.DST_G2, lib)
+            assert cs.is_satisfied()
+            seg = cs.assignments[start:]
+            lut = {0: 0, 1: 1, C.P - 1: 2}
+            host.append([lut[v] for v in seg])
+        arr = np.stack([np.frombuffer(m, np.uint8) for m in msgs]).astype(np.uint32)
+        idx = np.asarray(
+            DW.xmd_witness_indices(jnp.asarray(arr), 32, C.DST_G2, lib)
+        )
+        assert idx.shape == (2, len(host[0])), (idx.shape, len(host[0]))
+        for i in range(2):
+            assert idx[i].tolist() == host[i], f"xmd mismatch elem {i} lib={lib}"

@@ -81,7 +81,10 @@ def main():
     # sink under jit; op-by-op dispatch is fine for a one-shot per batch);
     # the chunk-scanned evaluator is the jitted, timed hot loop
     wit_fn = witness_batch
-    ev_fn = jax.jit(lambda w: EV.check_satisfied(prepared, w))
+    # the evaluator's gather intermediate is (B, chunk, row_width, NLIMB);
+    # scale the row chunk down with batch so it stays ~1 GB
+    chunk = max(64, (1 << 23) // max(B, 1))
+    ev_fn = jax.jit(lambda w: EV.check_satisfied(prepared, w, chunk=chunk))
 
     msgs_d = jnp.asarray(msgs)
     t0 = time.time()
