@@ -89,7 +89,11 @@ class Fp2Var:
         inv_val = GF.fp2_inv(self.value) if self.value != (0, 0) else None
         if inv_val is None:
             raise ZeroDivisionError("Fp2Var.inverse of zero")
-        w = Fp2Var.alloc(cs, inv_val)
+        with cs.suppress_tape():
+            w = Fp2Var.alloc(cs, inv_val)
+        cs.record(
+            "fp2inv0", [w.c0.lc[0][0], w.c1.lc[0][0]], [self.c0.lc, self.c1.lc]
+        )
         prod = self * w
         prod.c0.enforce_equal(FpVar.constant(cs, 1))
         prod.c1.enforce_equal(FpVar.constant(cs, 0))
@@ -101,8 +105,14 @@ class Fp2Var:
         cs = self.cs
         is_z = self.value == (0, 0)
         inv_val = (0, 0) if is_z else GF.fp2_inv(self.value)
-        w = Fp2Var.alloc(cs, inv_val)
-        z = Boolean.alloc(cs, 1 if is_z else 0)
+        with cs.suppress_tape():
+            w = Fp2Var.alloc(cs, inv_val)
+            z = Boolean.alloc(cs, 1 if is_z else 0)
+        cs.record(
+            "fp2inv0z",
+            [w.c0.lc[0][0], w.c1.lc[0][0], z.lc[0][0]],
+            [self.c0.lc, self.c1.lc],
+        )
         prod = self * w
         one_minus_z = FpVar.constant(cs, 1) - z.to_fp()
         prod.c0.enforce_equal(one_minus_z)
@@ -186,7 +196,13 @@ def fp6_inverse(a):
     cs = a[0].cs
     val = tuple(x.value for x in a)
     inv_val = GF.fp6_inv(val)
-    w = tuple(Fp2Var.alloc(cs, c) for c in inv_val)
+    with cs.suppress_tape():
+        w = tuple(Fp2Var.alloc(cs, c) for c in inv_val)
+    cs.record(
+        "fp6inv",
+        [c.lc[0][0] for f2 in w for c in (f2.c0, f2.c1)],
+        [c.lc for f2 in a for c in (f2.c0, f2.c1)],
+    )
     prod = fp6_mul(a, w)
     one = Fp2Var.constant(cs, (1, 0))
     zero = Fp2Var.constant(cs, (0, 0))
@@ -220,7 +236,13 @@ def fp12_inverse(a):
     cs = a[0][0].cs
     val = (tuple(x.value for x in a[0]), tuple(x.value for x in a[1]))
     inv_val = GF.fp12_inv(val)
-    w = tuple(tuple(Fp2Var.alloc(cs, c2) for c2 in c6) for c6 in inv_val)
+    with cs.suppress_tape():
+        w = tuple(tuple(Fp2Var.alloc(cs, c2) for c2 in c6) for c6 in inv_val)
+    cs.record(
+        "fp12inv",
+        [c.lc[0][0] for c6 in w for f2 in c6 for c in (f2.c0, f2.c1)],
+        [c.lc for c6 in a for f2 in c6 for c in (f2.c0, f2.c1)],
+    )
     prod = fp12_mul(a, w)
     one = Fp2Var.constant(cs, (1, 0))
     zero = Fp2Var.constant(cs, (0, 0))

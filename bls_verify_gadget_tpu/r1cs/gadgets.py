@@ -45,6 +45,7 @@ class FpVar:
         if mode == AllocationMode.CONSTANT:
             return FpVar.constant(cs, v)
         idx = cs.new_variable(v, mode)
+        cs.record("input", [idx], [])
         return FpVar(cs, [(idx, 1)], v)
 
     @property
@@ -86,6 +87,7 @@ class FpVar:
             return self.scale(other.const_value())
         val = self.value * other.value % m
         w = cs.new_witness(val)
+        cs.record("mul", [w], [self.lc, other.lc])
         cs.enforce(self.lc, other.lc, [(w, 1)])
         return FpVar(cs, [(w, 1)], val)
 
@@ -98,6 +100,7 @@ class FpVar:
         cs, m = self.cs, self.cs.field_mod
         inv_val = pow(self.value, -1, m) if self.value else 0
         w = cs.new_witness(inv_val)
+        cs.record("inv", [w], [self.lc])
         cs.enforce(self.lc, [(w, 1)], [(0, 1)])
         return FpVar(cs, [(w, 1)], inv_val)
 
@@ -107,8 +110,10 @@ class FpVar:
         cs, m = self.cs, self.cs.field_mod
         z_val = 1 if self.value == 0 else 0
         i_val = pow(self.value, -1, m) if self.value else 0
-        z = Boolean.alloc(cs, z_val)
+        with cs.suppress_tape():
+            z = Boolean.alloc(cs, z_val)
         iw = cs.new_witness(i_val)
+        cs.record("inv0", [z.lc[0][0], iw], [self.lc])
         cs.enforce(self.lc, [(iw, 1)], _merge([(0, 1)], z.lc, 1, -1, mod=m))
         cs.enforce(self.lc, z.lc, [])
         return FpVar(cs, [(iw, 1)], i_val), z
@@ -141,10 +146,12 @@ class FpVar:
         v = self.value
         assert v < (1 << nbits), "value does not fit bit width"
         lc = []
-        for i in range(nbits):
-            b = Boolean.alloc(cs, (v >> i) & 1)
-            bits.append(b)
-            lc = _merge(lc, b.lc, 1, (1 << i) % m, mod=m)
+        with cs.suppress_tape():
+            for i in range(nbits):
+                b = Boolean.alloc(cs, (v >> i) & 1)
+                bits.append(b)
+                lc = _merge(lc, b.lc, 1, (1 << i) % m, mod=m)
+        cs.record("bits", [b.lc[0][0] for b in bits], [self.lc], nbits)
         cs.enforce(lc, [(0, 1)], self.lc)
         return bits
 
@@ -175,6 +182,7 @@ def _select_fp(cond: "Boolean", a: FpVar, b: FpVar) -> FpVar:
     diff = a - b
     val = a.value if cond.value else b.value
     w = cs.new_witness((val - b.value) % m)
+    cs.record("mul", [w], [cond.lc, diff.lc])
     cs.enforce(cond.lc, diff.lc, [(w, 1)])
     return FpVar(cs, _merge(b.lc, [(w, 1)], mod=m), val)
 
@@ -195,6 +203,7 @@ class Boolean:
         if mode == AllocationMode.CONSTANT:
             return Boolean.constant(cs, v)
         idx = cs.new_variable(v, mode)
+        cs.record("input", [idx], [])
         m = cs.field_mod
         cs.enforce([(idx, 1)], _merge([(0, 1)], [(idx, 1)], 1, -1, mod=m), [])
         return Boolean(cs, [(idx, 1)], v)
@@ -223,6 +232,7 @@ class Boolean:
             return self if other.value else Boolean.constant(cs, 0)
         v = self.value & other.value
         w = cs.new_witness(v)
+        cs.record("mul", [w], [self.lc, other.lc])
         cs.enforce(self.lc, other.lc, [(w, 1)])
         return Boolean(cs, [(w, 1)], v)
 
@@ -238,6 +248,7 @@ class Boolean:
             return self if not other.value else self.not_()
         v = self.value ^ other.value
         w = cs.new_witness(v)
+        cs.record("xor", [w], [self.lc, other.lc])
         # 2ab = a + b - (a xor b)
         cs.enforce(
             [(i, 2 * c % m) for i, c in self.lc],
@@ -289,11 +300,21 @@ class UInt32:
         lc = []
         for t in terms:
             lc = _merge(lc, t.to_fp().lc, mod=m)
-        out = UInt32.alloc(cs, total & 0xFFFFFFFF)
+        with cs.suppress_tape():
+            out = UInt32.alloc(cs, total & 0xFFFFFFFF)
         rhs = out.to_fp().lc
-        for j in range(carry_bits):
-            cb = Boolean.alloc(cs, (total >> (32 + j)) & 1)
-            rhs = _merge(rhs, cb.lc, 1, (1 << (32 + j)) % m, mod=m)
+        cbs = []
+        with cs.suppress_tape():
+            for j in range(carry_bits):
+                cb = Boolean.alloc(cs, (total >> (32 + j)) & 1)
+                cbs.append(cb)
+                rhs = _merge(rhs, cb.lc, 1, (1 << (32 + j)) % m, mod=m)
+        cs.record(
+            "bits",
+            [b.lc[0][0] for b in out.bits] + [b.lc[0][0] for b in cbs],
+            [lc],
+            32 + carry_bits,
+        )
         cs.enforce(lc, [(0, 1)], rhs)
         return out
 

@@ -94,8 +94,14 @@ def sswu_map_gadget(u: Fp2Var):
     gx1_val = gx1.value
     is_sq = GF.fp2_is_square(gx1_val)
     y_val = GF.fp2_sqrt(gx1_val if is_sq else gx2.value)
-    e_sq = Boolean.alloc(cs, 1 if is_sq else 0)
-    y = Fp2Var.alloc(cs, y_val)
+    with cs.suppress_tape():
+        e_sq = Boolean.alloc(cs, 1 if is_sq else 0)
+        y = Fp2Var.alloc(cs, y_val)
+    cs.record(
+        "sqrt2",
+        [e_sq.lc[0][0], y.c0.lc[0][0], y.c1.lc[0][0]],
+        [gx1.c0.lc, gx1.c1.lc, gx2.c0.lc, gx2.c1.lc],
+    )
     target = gx1.select(e_sq, gx2)
     y.square().enforce_equal(target)
     x = x1.select(e_sq, x2)

@@ -76,11 +76,23 @@ def _hinted_slope(cs, numer: Fp2Var, denom: Fp2Var, nonzero: Boolean | None = No
     lam_val = GF.fp2_mul(numer.value, GF.fp2_inv(dval)) if dval != (0, 0) else (0, 0)
     if nonzero is not None:
         inv_val = GF.fp2_inv(dval) if dval != (0, 0) else (0, 0)
-        inv = Fp2Var.alloc(cs, inv_val)
+        with cs.suppress_tape():
+            inv = Fp2Var.alloc(cs, inv_val)
+        cs.record(
+            "fp2inv0",
+            [inv.c0.lc[0][0], inv.c1.lc[0][0]],
+            [denom.c0.lc, denom.c1.lc],
+        )
         prod = denom * inv
         prod.c0.enforce_equal(nonzero.to_fp())
         prod.c1.enforce_equal(FpVar.constant(cs, 0))
-    lam = Fp2Var.alloc(cs, lam_val)
+    with cs.suppress_tape():
+        lam = Fp2Var.alloc(cs, lam_val)
+    cs.record(
+        "fp2div0",
+        [lam.c0.lc[0][0], lam.c1.lc[0][0]],
+        [numer.c0.lc, numer.c1.lc, denom.c0.lc, denom.c1.lc],
+    )
     (lam * denom).enforce_equal(numer)
     return lam
 

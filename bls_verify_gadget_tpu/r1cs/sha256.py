@@ -65,6 +65,7 @@ def _maj(a, b, c):
         s_val = (bb.value + cb.value - 2 * t.value) % m
         maj_val = (t.value + ab.value * s_val) % m
         w = cs.new_witness((maj_val - t.value) % m)
+        cs.record("mul", [w], [ab.lc, s_lc])
         cs.enforce(ab.lc, s_lc, [(w, 1)])
         out_bits.append(Boolean(cs, _merge(t.lc, [(w, 1)], mod=m), maj_val))
     return U(a.cs, out_bits, (a.value & b.value) ^ (a.value & c.value) ^ (b.value & c.value))

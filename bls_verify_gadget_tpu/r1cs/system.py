@@ -37,6 +37,12 @@ class ConstraintSystem:
         # capping — exported by to_arrays so device-side witness generation
         # can materialise the partial sums (evaluator.complete_witness)
         self.aux_splits: list = []
+        # witness-generation tape: every allocation site records how its
+        # witnesses derive from earlier variables, so r1cs/witness_vm.py can
+        # replay the whole assignment batch-parallel on device.  Entries:
+        # {"kind": str, "outs": [var...], "lcs": [lc...], "meta": ...}
+        self.tape: list = []
+        self._tape_suppress = 0
 
     # ------------------------------------------------------------------
     # allocation
@@ -70,6 +76,44 @@ class ConstraintSystem:
 
     def new_input(self, value: int) -> int:
         return self.new_variable(value, AllocationMode.INPUT)
+
+    # ------------------------------------------------------------------
+    # witness-generation tape (device replay; r1cs/witness_vm.py)
+    # ------------------------------------------------------------------
+
+    def record(self, kind: str, outs, lcs, meta=None):
+        """Record how witness vars `outs` derive from LCs over earlier
+        vars.  No-op inside a suppress() block (a parent op records a
+        single higher-level entry for its internal allocations)."""
+        if self._tape_suppress == 0:
+            self.tape.append(
+                {"kind": kind, "outs": list(outs), "lcs": [list(l) for l in lcs],
+                 "meta": meta}
+            )
+
+    class _Suppress:
+        def __init__(self, cs):
+            self.cs = cs
+
+        def __enter__(self):
+            self.cs._tape_suppress += 1
+
+        def __exit__(self, *exc):
+            self.cs._tape_suppress -= 1
+            return False
+
+    def suppress_tape(self):
+        return ConstraintSystem._Suppress(self)
+
+    def tape_uncovered(self):
+        """Variable indices (excluding 0) not produced by any tape entry —
+        these must be supplied as inputs to the witness VM."""
+        covered = set()
+        for e in self.tape:
+            covered.update(e["outs"])
+        return [
+            i for i in range(1, len(self.assignments)) if i not in covered
+        ]
 
     # ------------------------------------------------------------------
     # constraints
