@@ -136,6 +136,96 @@ def _scatter(wit, outs_col, vals):
     return wit.at[:, outs_col, :].set(vals)
 
 
+def _exec_group(kind, meta, bit_table, wit, idx, coeff, outs):
+    """Execute one group functionally: returns the updated witness.  Pure
+    in (wit, idx, coeff, outs) for a static (kind, meta) — jitted per kind
+    with the witness buffer donated, so replay becomes one cached
+    executable per (kind, shape) signature (SHA rounds, ladder steps and
+    schedule words all reuse the same compiled programs)."""
+    ev = _eval_lcs(wit, idx, coeff)
+    if kind == "mul":
+        return _scatter(wit, outs[:, 0], FP.mul(ev[0], ev[1]))
+    if kind == "xor":
+        ab = FP.mul(ev[0], ev[1])
+        vals = FP.sub(FP.add(ev[0], ev[1]), FP.add(ab, ab))
+        return _scatter(wit, outs[:, 0], vals)
+    if kind == "bits":
+        nbits = meta
+        B = wit.shape[0]
+        std = _demont(ev[0])  # (B, G, L) standard limbs
+        pos = np.arange(nbits)
+        limb_sel = std[..., pos // 16]            # (B, G, nbits)
+        bits = (limb_sel >> jnp.asarray(pos % 16, jnp.uint32)) & 1
+        mont_bits = bit_table[bits]               # (B, G, nbits, L)
+        return wit.at[:, outs.reshape(-1), :].set(mont_bits.reshape(B, -1, NL))
+    if kind == "inv":
+        return _scatter(wit, outs[:, 0], FP.pow_const(ev[0], C.P - 2))
+    if kind == "inv0":
+        z = FP.is_zero(ev[0])                     # (B, G) bool
+        wit = _scatter(wit, outs[:, 0], bit_table[z.astype(jnp.int32)])
+        return _scatter(wit, outs[:, 1], FP.pow_const(ev[0], C.P - 2))
+    if kind == "fp2inv0":
+        i0, i1 = _fp2_inv0(ev[0], ev[1])
+        wit = _scatter(wit, outs[:, 0], i0)
+        return _scatter(wit, outs[:, 1], i1)
+    if kind == "fp2inv0z":
+        d0, d1 = ev
+        i0, i1 = _fp2_inv0(d0, d1)
+        z = FP.is_zero(d0) & FP.is_zero(d1)
+        wit = _scatter(wit, outs[:, 0], i0)
+        wit = _scatter(wit, outs[:, 1], i1)
+        return _scatter(wit, outs[:, 2], bit_table[z.astype(jnp.int32)])
+    if kind == "fp2div0":
+        n0, n1, d0, d1 = ev
+        i0, i1 = _fp2_inv0(d0, d1)
+        (lam,) = T.fp2_mul_pairs([((n0, n1), (i0, i1))])
+        wit = _scatter(wit, outs[:, 0], lam[0])
+        return _scatter(wit, outs[:, 1], lam[1])
+    if kind == "fp6inv":
+        a6 = ((ev[0], ev[1]), (ev[2], ev[3]), (ev[4], ev[5]))
+        flat = [c for f2 in T.fp6_inv(a6) for c in f2]
+        for k in range(6):
+            wit = _scatter(wit, outs[:, k], flat[k])
+        return wit
+    if kind == "fp12inv":
+        a12 = (
+            ((ev[0], ev[1]), (ev[2], ev[3]), (ev[4], ev[5])),
+            ((ev[6], ev[7]), (ev[8], ev[9]), (ev[10], ev[11])),
+        )
+        flat = [c for c6 in T.fp12_inv(a12) for f2 in c6 for c in f2]
+        for k in range(12):
+            wit = _scatter(wit, outs[:, k], flat[k])
+        return wit
+    if kind == "sqrt2":
+        from ..ops.hash_to_g2 import fp2_sqrt_candidates
+
+        g10, g11, g20, g21 = ev
+        s1, ok1 = fp2_sqrt_candidates((g10, g11))
+        s2, _ = fp2_sqrt_candidates((g20, g21))
+        y = T.fp2_cmov(ok1, s1, s2)
+        wit = _scatter(wit, outs[:, 0], bit_table[ok1.astype(jnp.int32)])
+        wit = _scatter(wit, outs[:, 1], y[0])
+        return _scatter(wit, outs[:, 2], y[1])
+    raise ValueError(f"unknown tape kind {kind}")  # pragma: no cover
+
+
+_JITTED = {}
+
+
+def _group_fn(kind, meta):
+    key = (kind, meta)
+    fn = _JITTED.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(
+            functools.partial(_exec_group, kind, meta),
+            donate_argnums=1,  # update the witness buffer in place
+        )
+        _JITTED[key] = fn
+    return fn
+
+
 def run_tape(ct: CompiledTape, input_limbs, batch: int):
     """input_limbs: (B, n_inputs, NLIMB) Montgomery values for
     ct.input_vars (in that order).  Returns (B, num_vars, NLIMB)."""
@@ -146,86 +236,16 @@ def run_tape(ct: CompiledTape, input_limbs, batch: int):
         wit = wit.at[:, np.asarray(ct.input_vars, np.int32), :].set(
             jnp.asarray(input_limbs)
         )
-    two = None
     for g in ct.groups:
-        kind = g["kind"]
-        idx = jnp.asarray(g["idx"])
-        coeff = jnp.asarray(g["coeff"])
-        outs = g["outs"]
-        ev = _eval_lcs(wit, idx, coeff)
-        if kind == "mul":
-            vals = FP.mul(ev[0], ev[1])
-            wit = _scatter(wit, outs[:, 0], vals)
-        elif kind == "xor":
-            ab = FP.mul(ev[0], ev[1])
-            vals = FP.sub(FP.add(ev[0], ev[1]), FP.add(ab, ab))
-            wit = _scatter(wit, outs[:, 0], vals)
-        elif kind == "bits":
-            nbits = g["meta"]
-            std = _demont(ev[0])  # (B, G, L) standard limbs
-            pos = np.arange(nbits)
-            limb_sel = std[..., pos // 16]            # (B, G, nbits)
-            bits = (limb_sel >> jnp.asarray(pos % 16, jnp.uint32)) & 1
-            mont_bits = ct.bit_table[bits]            # (B, G, nbits, L)
-            # outs (G, nbits) -> scatter all bit vars at once
-            flat_vars = outs.reshape(-1)              # (G*nbits,)
-            flat_vals = jnp.transpose(mont_bits, (0, 1, 2, 3)).reshape(
-                B, -1, NL
-            )
-            wit = wit.at[:, flat_vars, :].set(flat_vals)
-        elif kind == "inv":
-            vals = FP.pow_const(ev[0], C.P - 2)
-            wit = _scatter(wit, outs[:, 0], vals)
-        elif kind == "inv0":
-            z = FP.is_zero(ev[0])                     # (B, G) bool
-            wit = _scatter(wit, outs[:, 0], ct.bit_table[z.astype(np.int32)])
-            wit = _scatter(wit, outs[:, 1], FP.pow_const(ev[0], C.P - 2))
-        elif kind == "fp2inv0":
-            d0, d1 = ev
-            i0, i1 = _fp2_inv0(d0, d1)
-            wit = _scatter(wit, outs[:, 0], i0)
-            wit = _scatter(wit, outs[:, 1], i1)
-        elif kind == "fp2inv0z":
-            d0, d1 = ev
-            i0, i1 = _fp2_inv0(d0, d1)
-            z = FP.is_zero(d0) & FP.is_zero(d1)
-            wit = _scatter(wit, outs[:, 0], i0)
-            wit = _scatter(wit, outs[:, 1], i1)
-            wit = _scatter(wit, outs[:, 2], ct.bit_table[z.astype(np.int32)])
-        elif kind == "fp6inv":
-            a6 = ((ev[0], ev[1]), (ev[2], ev[3]), (ev[4], ev[5]))
-            inv = T.fp6_inv(a6)
-            flat = [c for f2 in inv for c in f2]
-            for k in range(6):
-                wit = _scatter(wit, outs[:, k], flat[k])
-        elif kind == "fp12inv":
-            a12 = (
-                ((ev[0], ev[1]), (ev[2], ev[3]), (ev[4], ev[5])),
-                ((ev[6], ev[7]), (ev[8], ev[9]), (ev[10], ev[11])),
-            )
-            inv = T.fp12_inv(a12)
-            flat = [c for c6 in inv for f2 in c6 for c in f2]
-            for k in range(12):
-                wit = _scatter(wit, outs[:, k], flat[k])
-        elif kind == "fp2div0":
-            n0, n1, d0, d1 = ev
-            i0, i1 = _fp2_inv0(d0, d1)
-            (lam,) = T.fp2_mul_pairs([((n0, n1), (i0, i1))])
-            wit = _scatter(wit, outs[:, 0], lam[0])
-            wit = _scatter(wit, outs[:, 1], lam[1])
-        elif kind == "sqrt2":
-            from ..ops.hash_to_g2 import fp2_sqrt_candidates
-
-            g10, g11, g20, g21 = ev
-            s1, ok1 = fp2_sqrt_candidates((g10, g11))
-            s2, _ = fp2_sqrt_candidates((g20, g21))
-            y = T.fp2_cmov(ok1, s1, s2)
-            wit = _scatter(wit, outs[:, 0], ct.bit_table[ok1.astype(np.int32)])
-            wit = _scatter(wit, outs[:, 1], y[0])
-            wit = _scatter(wit, outs[:, 2], y[1])
-        else:  # pragma: no cover
-            raise ValueError(f"unknown tape kind {kind}")
+        wit = _group_fn(g["kind"], g["meta"])(
+            ct.bit_table,
+            wit,
+            jnp.asarray(g["idx"]),
+            jnp.asarray(g["coeff"]),
+            jnp.asarray(g["outs"]),
+        )
     return wit
+
 
 
 def _fp2_inv0(d0, d1):
