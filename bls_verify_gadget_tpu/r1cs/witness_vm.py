@@ -25,14 +25,14 @@ from ..ops.fp import FP, int_to_limbs
 from ..ops import tower as T
 
 NL = C.NLIMB
-_RAW_ONE = None  # lazy: plain (non-Montgomery) limbs of 1
+# plain (non-Montgomery) limbs of 1, kept as numpy so each trace lifts its
+# own constant (a cached jnp array created inside a jit trace would leak
+# the tracer)
+_RAW_ONE = np.array(int_to_limbs(1, C.NLIMB), np.uint32)
 
 
 def _raw_one():
-    global _RAW_ONE
-    if _RAW_ONE is None:
-        _RAW_ONE = jnp.asarray(np.array(int_to_limbs(1, FP.nlimb), np.uint32))
-    return _RAW_ONE
+    return jnp.asarray(_RAW_ONE)
 
 
 class CompiledTape:
@@ -107,6 +107,11 @@ def compile_tape(cs):
                 "outs": np.asarray(g["outs"], np.int32),  # (G, n_outs)
                 "idx": idx,
                 "coeff": coeff,
+                # staged device copies (one-time): replay then avoids a
+                # host->device transfer per group per batch
+                "outs_d": jnp.asarray(np.asarray(g["outs"], np.int32)),
+                "idx_d": jnp.asarray(idx),
+                "coeff_d": jnp.asarray(coeff),
             }
         )
     return CompiledTape(packed, V, input_vars)
@@ -236,13 +241,20 @@ def run_tape(ct: CompiledTape, input_limbs, batch: int):
         wit = wit.at[:, np.asarray(ct.input_vars, np.int32), :].set(
             jnp.asarray(input_limbs)
         )
-    for g in ct.groups:
+    import os
+    import sys
+
+    progress = os.environ.get("BLS_VM_PROGRESS") == "1"
+    for gi, g in enumerate(ct.groups):
+        if progress and gi % 500 == 0:
+            wit.block_until_ready()
+            print(f"vm: group {gi}/{len(ct.groups)}", file=sys.stderr, flush=True)
         wit = _group_fn(g["kind"], g["meta"])(
             ct.bit_table,
             wit,
-            jnp.asarray(g["idx"]),
-            jnp.asarray(g["coeff"]),
-            jnp.asarray(g["outs"]),
+            g["idx_d"],
+            g["coeff_d"],
+            g["outs_d"],
         )
     return wit
 
