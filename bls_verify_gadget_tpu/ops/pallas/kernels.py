@@ -528,8 +528,10 @@ class _F2Rows:
         )
 
     def is_zero(self, a):  # -> (1, tb) bool (canonical zero test)
-        s = jnp.sum(a[0], axis=0, keepdims=True) + jnp.sum(
-            a[1], axis=0, keepdims=True
+        # int32 reduction: Mosaic has no unsigned-reduce lowering, and the
+        # sum of 48 canonical 16-bit limbs is exact in int32.
+        s = jnp.sum(a[0].astype(jnp.int32), axis=0, keepdims=True) + jnp.sum(
+            a[1].astype(jnp.int32), axis=0, keepdims=True
         )
         return s == 0
 
@@ -561,7 +563,9 @@ class _F1Rows:
         return self.mont(a, a)
 
     def is_zero(self, a):
-        return jnp.sum(a, axis=0, keepdims=True) == 0
+        # int32: Mosaic cannot lower unsigned reductions (sum of 24
+        # canonical 16-bit limbs is exact in int32)
+        return jnp.sum(a.astype(jnp.int32), axis=0, keepdims=True) == 0
 
     def cmov(self, m, a, b):
         return jnp.where(m, a, b)
