@@ -8,6 +8,8 @@ runs the cheap suites first."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute circuit builds (pytest.ini)
+
 from bls_verify_gadget_tpu.r1cs.system import ConstraintSystem
 from bls_verify_gadget_tpu.r1cs.gadgets import UInt8, Boolean
 from bls_verify_gadget_tpu.r1cs.verify import (

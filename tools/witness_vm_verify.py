@@ -34,12 +34,11 @@ import numpy as np
 MSG_LEN = 24
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
-    args = ap.parse_args()
-    B = args.batch
-
+def run(B: int) -> dict:
+    """Build the full verify circuit, replay its witness tape on device for
+    a batch of B triples, check satisfiability (good accepted / corrupted
+    rejected), and return the timing/throughput record.  Called by main()
+    and by tests/test_witness_vm_full.py (marked heavy)."""
     import random
 
     from bls_verify_gadget_tpu.golden import bls as gbls
@@ -137,9 +136,7 @@ def main():
     ok_bad = jax.device_get(EV.check_satisfied(prepared, bad, chunk=chunk))
     assert not ok_bad.any(), "corrupted witnesses must fail"
 
-    print(
-        json.dumps(
-            {
+    return {
                 "metric": "verify_circuit_device_witness",
                 "value": round(B / replay_s, 3),
                 "unit": "witnesses/s",
@@ -154,9 +151,14 @@ def main():
                 "replay_s": round(replay_s, 2),
                 "eval_s": round(eval_s, 2),
                 "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+    print(json.dumps(run(args.batch)))
 
 
 if __name__ == "__main__":
