@@ -63,6 +63,15 @@ def main():
     fpmul_per_verify = ctr.fp_mul_equivalent() / args.batch
     sustained_fpmul_s = fpmul_per_verify * throughput
 
+    # weak-scaling record (tools/bench_scaling.py writes SCALING.json; the
+    # virtual-mesh efficiencies ride along so the driver's BENCH_r{N}.json
+    # carries the scaling field)
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
+
     print(
         json.dumps(
             {
@@ -76,6 +85,7 @@ def main():
                 "roofline_fpmul_per_verify": round(fpmul_per_verify),
                 "roofline_sustained_fpmul_per_s": round(sustained_fpmul_s),
                 "device": str(jax.devices()[0]),
+                "scaling": scaling,
             }
         )
     )
