@@ -21,8 +21,8 @@ from .. import constants as C
 from .fp import FP
 from . import tower as T
 
-# twist curve coefficient b' = 4(1+u)
-_TWIST_B = T.fp2_encode(C.B_G2)
+# The twist curve coefficient b' = 4(1+u) is folded into the doubling
+# step as shift/adds (b'*c = 4*xi(c)); no device constant is needed.
 
 _ABS_X_BITS_MSB = C.ABS_X_BITS[::-1]  # MSB first
 
@@ -90,11 +90,6 @@ def _fp6_mul_by_1(a, d1):
 # Miller loop steps (CLN homogeneous projective, M-twist)
 # ----------------------------------------------------------------------------
 
-_TWIST_B_STATIC = tuple(
-    tuple(int(v) for v in np.asarray(c).tolist()) for c in _TWIST_B
-)
-
-
 def _dbl_step(t, xp, yp):
     """Doubling step: returns (new T, line coeffs (c0, c1, c4)).  On TPU
     the whole step (10 Fp2 mul/sqr + line scalings + halvings) is ONE
@@ -104,16 +99,18 @@ def _dbl_step(t, xp, yp):
     X, Y, Z = t
     if T.FP._use_pallas() and config.fuse_steps:
         o = T.FP.kernels.dbl_step(
-            [X[0], X[1], Y[0], Y[1], Z[0], Z[1], xp, yp], _TWIST_B_STATIC
+            [X[0], X[1], Y[0], Y[1], Z[0], Z[1], xp, yp]
         )
         return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5])), (
             (o[6], o[7]), (o[8], o[9]), (o[10], o[11]),
         )
-    bb = T._bcast(_TWIST_B, X)
     a_, b_, c_ = T.fp2_mul_pairs([(X, Y), (Y, Y), (Z, Z)])
     a_ = fp2_half(a_)
     c3 = T.fp2_add(T.fp2_add(c_, c_), c_)
-    (e_,) = T.fp2_mul_pairs([(bb, c3)])             # e = 3 b' Z^2
+    # e = 3 b' Z^2 with b' = 4(1+u): b'*c = 4*xi(c) — multiplication-free
+    e_ = T.fp2_mul_xi(c3)
+    e_ = T.fp2_add(e_, e_)
+    e_ = T.fp2_add(e_, e_)
     f_ = T.fp2_add(T.fp2_add(e_, e_), e_)           # 3e
     g_ = fp2_half(T.fp2_add(b_, f_))
     h_ = T.fp2_sub(T.fp2_sqr(T.fp2_add(Y, Z)), T.fp2_add(b_, c_))  # 2YZ
@@ -173,45 +170,117 @@ def _neutral_line(c0, c1, c4, valid):
     )
 
 
+def _cat1(ts):
+    return jnp.concatenate(ts, axis=0)
+
+
+def _cat2(f2s):
+    return (_cat1([a[0] for a in f2s]), _cat1([a[1] for a in f2s]))
+
+
+def _slice2(a, lo, hi):
+    return (a[0][lo:hi], a[1][lo:hi])
+
+
 def multi_miller_loop(pairs):
     """pairs: list of (p_aff, q_aff, valid) with p_aff = (xp, yp) Fp limb
     tensors, q_aff = (xq, yq) Fp2 pairs, valid a boolean mask (...,).
-    Returns the shared Miller accumulator f (Fp12), conjugated for x < 0."""
+    Returns the shared Miller accumulator f (Fp12), conjugated for x < 0.
+
+    When every pair shares one 1-D batch shape, the k pairs are STACKED
+    along the batch axis so each Miller step (dbl/add + line coefficients)
+    is ONE kernel launch at k*B instead of k launches at B — the line
+    applications (sparse 014 multiplies into the shared f) stay sequential
+    as required.  The per-pair path below remains for heterogeneous
+    shapes."""
     xps = [p[0] for p, _, _ in pairs]
     yps = [p[1] for p, _, _ in pairs]
     qs = [q for _, q, _ in pairs]
     valids = [v for _, _, v in pairs]
+    k = len(pairs)
 
-    f0 = None
-    t0 = []
-    for q in qs:
-        t0.append((q[0], q[1], T.fp2_one_like(q[0])))
+    lead = xps[0].shape[:-1]
+    stacked = (
+        k > 1
+        and len(lead) == 1
+        and all(x.shape[:-1] == lead for x in xps + yps)
+        and all(q[0][0].shape[:-1] == lead for q in qs)
+    )
     f0 = _fp12_one_like_from(qs[0][0])
 
-    def dbl_body(state, _):
-        f, ts = state
-        f = T.fp12_sqr(f)
-        new_ts = []
-        for i in range(len(ts)):
-            tnew, (c0, c1, c4) = _dbl_step(ts[i], xps[i], yps[i])
-            c0, c1, c4 = _neutral_line(c0, c1, c4, valids[i])
-            f = fp12_mul_by_014(f, c0, c1, c4)
-            new_ts.append(tnew)
-        return (f, tuple(new_ts)), None
+    if stacked:
+        B = lead[0]
+        xp_s, yp_s = _cat1(xps), _cat1(yps)
+        q_s = (_cat2([q[0] for q in qs]), _cat2([q[1] for q in qs]))
+        t_s = (q_s[0], q_s[1], T.fp2_one_like(q_s[0]))
 
-    def add_block(state):
-        f, ts = state
-        new_ts = []
-        for i in range(len(ts)):
-            tadd, (a0, a1, a4) = _add_step(ts[i], qs[i], xps[i], yps[i])
-            a0, a1, a4 = _neutral_line(a0, a1, a4, valids[i])
-            f = fp12_mul_by_014(f, a0, a1, a4)
-            new_ts.append(tadd)
-        return (f, tuple(new_ts))
+        def split_lines(c0, c1, c4):
+            for i in range(k):
+                lo, hi = i * B, (i + 1) * B
+                yield _slice2(c0, lo, hi), _slice2(c1, lo, hi), _slice2(c4, lo, hi)
+
+        def dbl_body(state, _):
+            f, ts = state
+            f = T.fp12_sqr(f)
+            tnew, (c0, c1, c4) = _dbl_step(ts, xp_s, yp_s)
+            for i, (l0, l1, l4) in enumerate(split_lines(c0, c1, c4)):
+                l0, l1, l4 = _neutral_line(l0, l1, l4, valids[i])
+                f = fp12_mul_by_014(f, l0, l1, l4)
+            return (f, tnew), None
+
+        def add_block(state):
+            f, ts = state
+            tadd, (a0, a1, a4) = _add_step(ts, q_s, xp_s, yp_s)
+            for i, (l0, l1, l4) in enumerate(split_lines(a0, a1, a4)):
+                l0, l1, l4 = _neutral_line(l0, l1, l4, valids[i])
+                f = fp12_mul_by_014(f, l0, l1, l4)
+            return (f, tadd)
+
+        def add_cmov(st, bit):
+            f, ts = st
+            tadd, (a0, a1, a4) = _add_step(ts, q_s, xp_s, yp_s)
+            for i, (l0, l1, l4) in enumerate(split_lines(a0, a1, a4)):
+                l0, l1, l4 = _neutral_line(l0, l1, l4, valids[i] & (bit > 0))
+                f = fp12_mul_by_014(f, l0, l1, l4)
+            return (f, _pt2_cmov(bit > 0, tadd, ts))
+
+        state = (f0, t_s)
+    else:
+        def dbl_body(state, _):
+            f, ts = state
+            f = T.fp12_sqr(f)
+            new_ts = []
+            for i in range(len(ts)):
+                tnew, (c0, c1, c4) = _dbl_step(ts[i], xps[i], yps[i])
+                c0, c1, c4 = _neutral_line(c0, c1, c4, valids[i])
+                f = fp12_mul_by_014(f, c0, c1, c4)
+                new_ts.append(tnew)
+            return (f, tuple(new_ts)), None
+
+        def add_block(state):
+            f, ts = state
+            new_ts = []
+            for i in range(len(ts)):
+                tadd, (a0, a1, a4) = _add_step(ts[i], qs[i], xps[i], yps[i])
+                a0, a1, a4 = _neutral_line(a0, a1, a4, valids[i])
+                f = fp12_mul_by_014(f, a0, a1, a4)
+                new_ts.append(tadd)
+            return (f, tuple(new_ts))
+
+        def add_cmov(st, bit):
+            f, ts = st
+            new_ts = []
+            for i, (p, q, valid) in enumerate(pairs):
+                tadd, line = _add_step(ts[i], q, p[0], p[1])
+                a0, a1, a4 = _neutral_line(*line, valid & (bit > 0))
+                f = fp12_mul_by_014(f, a0, a1, a4)
+                new_ts.append(_pt2_cmov(bit > 0, tadd, ts[i]))
+            return (f, tuple(new_ts))
+
+        state = (f0, tuple((q[0], q[1], T.fp2_one_like(q[0])) for q in qs))
 
     from ..utils.config import use_static_ladders
 
-    state = (f0, tuple(t0))
     if use_static_ladders():
         # TPU: runs of doubling-only scan segments + one real addition block
         # per set bit (static bit pattern, no cmov work)
@@ -231,15 +300,8 @@ def multi_miller_loop(pairs):
 
     def body(st, bit):
         st, _ = dbl_body(st, None)
-        f, ts = st
-        new_ts = []
-        for i, (p, q, valid) in enumerate(pairs):
-            tadd, line = _add_step(ts[i], q, p[0], p[1])
-            a0, a1, a4 = _neutral_line(*line, valid & (bit > 0))
-            fa = fp12_mul_by_014(f, a0, a1, a4)
-            f = T.fp12_cmov(bit > 0, fa, f)
-            new_ts.append(_pt2_cmov(bit > 0, tadd, ts[i]))
-        return (f, tuple(new_ts)), None
+        st = add_cmov(st, bit)
+        return st, None
 
     state, _ = jax.lax.scan(body, state, bits)
     return T.fp12_conj(state[0])  # x < 0

@@ -718,24 +718,25 @@ def _mul014_kernel(*refs, n, tb, n0, mxu):
 def _dblstep_kernel(*refs, n, tb, n0, mxu):
     """Fused Miller doubling step (pairing._dbl_step: CLN homogeneous
     projective, M-twist): the full T update + line coefficients in ONE
-    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, w1, w2,
-    twist-b' columns (2: Montgomery limbs of the twist curve's b' Fp2,
-    passed as inputs — Mosaic rejects captured array constants), then
-    outputs X' Y' Z' (6) + line i_, c1l, c4l (6)."""
-    ins, outs = refs[:8], refs[13:25]
+    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, w1, w2, then
+    outputs X' Y' Z' (6) + line i_, c1l, c4l (6).
+
+    The twist coefficient b' = 4(1+u), so e = b'*(3Z^2) is computed
+    multiplication-free as 4*xi(3Z^2) — exact, and it keeps launch-uniform
+    constant columns out of the kernel body."""
+    ins, outs = refs[:8], refs[11:23]
     p_limbs, mont = _make_mont(refs[8], refs[9], refs[10], n=n, tb=tb, n0=n0, mxu=mxu)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
     X, Y, Z = _group_f2(rows[:6])
     xp, yp = rows[6], rows[7]
-    bb = tuple(
-        jnp.broadcast_to(refs[11 + k][:], (n, tb)) for k in range(2)
-    )
     a_ = f2.half(f2.mul(X, Y))
     b_ = f2.sqr(Y)
     c_ = f2.sqr(Z)
     c3 = f2.add(f2.add(c_, c_), c_)
-    e_ = f2.mul(bb, c3)
+    e_ = f2.xi(c3)
+    e_ = f2.add(e_, e_)
+    e_ = f2.add(e_, e_)
     f_ = f2.add(f2.add(e_, e_), e_)
     g_ = f2.half(f2.add(b_, f_))
     h_ = f2.sub(f2.sqr(f2.add(Y, Z)), f2.add(b_, c_))
@@ -1139,13 +1140,15 @@ class FieldKernels:
         return self._fp2_call(_fp2sqr_kernel, [a0, a1])
 
     def _tower_call(self, kernel_fn, operands, n_out, extra=None,
-                    extra_consts=None):
+                    extra_consts=None, max_tile=None):
         """Generic multi-in/multi-out fused tower kernel plumbing:
         broadcast + flatten + tile/pad the operands, launch, unflatten.
         `extra`: additional static kwargs for the kernel body.
         `extra_consts`: per-launch-uniform (n, 1) uint32 columns appended
         as inputs after p/w1/w2 (Mosaic rejects captured array constants,
-        so curve constants ride in as operands)."""
+        so curve constants ride in as operands).
+        `max_tile`: per-kernel tile cap overriding self.tile (grid grows to
+        cover the batch; total work and semantics are unchanged)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -1154,9 +1157,12 @@ class FieldKernels:
         ops = [jnp.broadcast_to(x, shape).reshape(-1, n) for x in operands]
         lead = shape[:-1]
         bsz = ops[0].shape[0]
+        self_tile = (
+            self.tile if max_tile is None else min(self.tile, max_tile)
+        )
         tile = (
-            self.tile
-            if bsz >= self.tile
+            self_tile
+            if bsz >= self_tile
             else max(8, 1 << max(bsz - 1, 0).bit_length())
         )
         pad = (-bsz) % tile
@@ -1214,18 +1220,13 @@ class FieldKernels:
         self._rec(45, 120, jnp.broadcast_shapes(*[x.shape for x in coords]))
         return self._tower_call(_mul014_kernel, list(coords), 12)
 
-    def dbl_step(self, coords, twist_b):
+    def dbl_step(self, coords):
         """Fused Miller doubling step: coords = X (2), Y (2), Z (2), xp,
-        yp; twist_b = static Montgomery limb tuples of b' (Fp2), shipped
-        to the kernel as (n, 1) const operands.  Returns X' Y' Z' (6) +
-        line i_, c1l, c4l (6)."""
-        self._rec(28, 96, jnp.broadcast_shapes(*[x.shape for x in coords]))
-        cols = [
-            np.asarray(c, np.uint32).reshape(self.n, 1) for c in twist_b
-        ]
-        return self._tower_call(
-            _dblstep_kernel, list(coords), 12, extra_consts=cols
-        )
+        yp.  Returns X' Y' Z' (6) + line i_, c1l, c4l (6).  The twist
+        coefficient (b' = 4(1+u)) is folded into the body as shift/adds,
+        so no constant operands ride along."""
+        self._rec(25, 102, jnp.broadcast_shapes(*[x.shape for x in coords]))
+        return self._tower_call(_dblstep_kernel, list(coords), 12)
 
     def add_step(self, coords):
         """Fused Miller mixed-addition step: coords = X (2), Y (2), Z (2),

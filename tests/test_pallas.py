@@ -270,8 +270,7 @@ def test_miller_step_kernels_interpret():
     K = FieldKernels(FP, tile=128)
     with pltpu.force_tpu_interpret_mode():
         o = K.dbl_step(
-            [xq[0], xq[1], yq[0], yq[1], one2[0], one2[1], xp, yp],
-            PR._TWIST_B_STATIC,
+            [xq[0], xq[1], yq[0], yq[1], one2[0], one2[1], xp, yp]
         )
         tk = ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
         oa = K.add_step(

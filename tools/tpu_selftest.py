@@ -371,8 +371,7 @@ def t_steps(cx):
     finally:
         config.fuse_steps = old
     o = cx.K.dbl_step(
-        [xq[0], xq[1], yq[0], yq[1], one2[0], one2[1], xp, yp],
-        PR._TWIST_B_STATIC,
+        [xq[0], xq[1], yq[0], yq[1], one2[0], one2[1], xp, yp]
     )
     tk = ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
     oa = cx.K.add_step(
