@@ -42,6 +42,30 @@ class ParametersVar:
         )
 
 
+def _fq_bytes_le(coord: FpVar) -> list[UInt8]:
+    """Decompose one base-field coordinate into 48 LE byte gadgets."""
+    cs = coord.cs
+    bits = coord.to_bits_le(384)
+    out = []
+    for i in range(48):
+        byte_bits = bits[8 * i : 8 * i + 8]
+        val = sum(b.value << j for j, b in enumerate(byte_bits))
+        out.append(UInt8(cs, byte_bits, val))
+    return out
+
+
+def _point_bytes_le(pt: RC.AffinePointVar, coords) -> list[UInt8]:
+    """arkworks affine to_bytes: coordinate LE bytes then one infinity
+    byte (0/1)."""
+    cs = pt.cs
+    out = []
+    for coord in coords:
+        out.extend(_fq_bytes_le(coord))
+    zero = Boolean.constant(cs, 0)
+    out.append(UInt8(cs, [pt.inf] + [zero] * 7, pt.inf.value))
+    return out
+
+
 @dataclasses.dataclass
 class PublicKeyVar:
     """G1 point (reference PublicKeyVar, src/constraints.rs:33-44)."""
@@ -53,28 +77,31 @@ class PublicKeyVar:
         return PublicKeyVar(RC.alloc_g1(cs, pk, mode))
 
     def is_eq(self, other: "PublicKeyVar") -> Boolean:
-        """EqGadget parity (reference src/constraints.rs:251-279)."""
+        """EqGadget parity (reference src/constraints.rs:251-258)."""
         both_fin = self.pt.inf.not_().and_(other.pt.inf.not_())
         eq_xy = self.pt.x.is_eq(other.pt.x).and_(self.pt.y.is_eq(other.pt.y))
         both_inf = self.pt.inf.and_(other.pt.inf)
         return both_inf.or_(both_fin.and_(eq_xy))
 
+    def conditional_enforce_equal(self, other: "PublicKeyVar", cond: Boolean):
+        """EqGadget::conditional_enforce_equal (reference
+        src/constraints.rs:260-270): when cond holds the two keys must be
+        equal — cond * (1 - is_eq) == 0."""
+        cs = self.pt.cs
+        cs.enforce(cond.lc, self.is_eq(other).not_().lc, [])
+
+    def conditional_enforce_not_equal(self, other: "PublicKeyVar", cond: Boolean):
+        """EqGadget::conditional_enforce_not_equal (reference
+        src/constraints.rs:272-278): when cond holds the two keys must
+        differ — cond * is_eq == 0."""
+        cs = self.pt.cs
+        cs.enforce(cond.lc, self.is_eq(other).lc, [])
+
     def to_bytes_le(self) -> list[UInt8]:
-        """ToBytesGadget flavour (reference src/constraints.rs:281-297,
+        """ToBytesGadget flavour (reference src/constraints.rs:281-287,
         arkworks affine to_bytes): little-endian x bytes, then y bytes, then
         one infinity byte (0/1) — 97 bytes total."""
-        cs = self.pt.cs
-        out = []
-        for coord in (self.pt.x, self.pt.y):
-            bits = coord.to_bits_le(384)
-            for i in range(48):
-                byte_bits = bits[8 * i : 8 * i + 8]
-                val = sum(b.value << j for j, b in enumerate(byte_bits))
-                out.append(UInt8(cs, byte_bits, val))
-        zero = Boolean.constant(cs, 0)
-        inf = self.pt.inf
-        out.append(UInt8(cs, [inf] + [zero] * 7, inf.value))
-        return out
+        return _point_bytes_le(self.pt, (self.pt.x, self.pt.y))
 
 
 @dataclasses.dataclass
@@ -86,6 +113,13 @@ class SignatureVar:
     @staticmethod
     def alloc(cs, sig, mode=AllocationMode.WITNESS) -> "SignatureVar":
         return SignatureVar(RC.alloc_g2(cs, sig, mode))
+
+    def to_bytes_le(self) -> list[UInt8]:
+        """ToBytesGadget flavour for G2 (reference src/constraints.rs:289-297,
+        arkworks Fp2 serialization: c0 LE bytes then c1 LE bytes per
+        coordinate): x.c0 ‖ x.c1 ‖ y.c0 ‖ y.c1 ‖ infinity byte — 193 bytes."""
+        x, y = self.pt.x, self.pt.y
+        return _point_bytes_le(self.pt, (x.c0, x.c1, y.c0, y.c1))
 
 
 class BlsSignatureVerifyGadget:
