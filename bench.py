@@ -6,18 +6,39 @@ Prints ONE JSON line:
 vs_baseline is measured against the BASELINE.md north-star target of
 5,000 verifications/s per chip (the reference publishes no numbers of its
 own — BASELINE.md / reference Cargo.toml:69-73).
+
+Structured to fit a cold ~30-minute driver window (VERDICT r3 weak #1):
+
+  * The verify pipeline compiles as THREE stage programs — hash_to_g2,
+    Miller loop (+ validity checks), final exponentiation — lowered in
+    dependency order and compiled in parallel threads (XLA releases the
+    GIL while compiling; single-program compile time is superlinear in
+    graph size, so staged + parallel is several times faster cold).  Each
+    lowering feeds the next stage's input shapes via `.out_info`, so every
+    stage is traced exactly once.
+  * The metric line prints IMMEDIATELY after the timed iterations.  The
+    roofline op-count — a multi-minute abstract re-trace — is read from
+    the precomputed ROOFLINE.json (tools/gen_roofline.py) instead of
+    being re-derived inline; --live-roofline restores the old behaviour.
+  * The weak-scaling and R1CS rows/s records ride along from SCALING.json
+    / R1CS_BENCH.json (tools/bench_scaling.py / tools/bench_r1cs.py).
 """
 
 import argparse
+import concurrent.futures
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 import jax
 
+if "--cpu" in sys.argv:  # before any backend touch (sitecustomize pins TPU)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/bls_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -25,10 +46,23 @@ BASELINE_VERIFIES_PER_SEC = 5000.0
 MSG_LEN = 32
 
 
+def _embed(name):
+    path = os.path.join(HERE, name)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BLS_BENCH_BATCH", 4096)))
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--single-program", action="store_true",
+                    help="compile verify as one XLA program (the pre-r4 path)")
+    ap.add_argument("--live-roofline", action="store_true",
+                    help="re-derive the roofline op-count by abstract trace "
+                         "instead of reading ROOFLINE.json (multi-minute)")
     args = ap.parse_args()
 
     from __graft_entry__ import _example_batch
@@ -37,58 +71,89 @@ def main():
     bls = BatchedBLS()
     pk, sig, msg = _example_batch(args.batch)
 
-    fn = jax.jit(lambda p, s, m: bls.verify(p, s, m, MSG_LEN))
     t0 = time.time()
-    out = fn(pk, sig, msg)
+    if args.single_program:
+        fn = jax.jit(lambda p, s, m: bls.verify(p, s, m, MSG_LEN))
+        exe = fn.lower(pk, sig, msg).compile()
+        stage_compile_s = {"verify": round(time.time() - t0, 1)}
+
+        def step(p, s, m):
+            return exe(p, s, m)
+    else:
+        hash_fn = jax.jit(lambda m: bls.hash_stage(m, MSG_LEN))
+        miller_fn = jax.jit(bls.miller_stage)
+        fexp_fn = jax.jit(bls.finalexp_stage)
+
+        # lower (trace) in dependency order, compile concurrently: each
+        # stage starts compiling while the next one is still tracing
+        done_at = {}
+        with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+            def submit(name, lowered):
+                def run():
+                    c = lowered.compile()
+                    done_at[name] = time.time() - t0
+                    return c
+                return pool.submit(run)
+
+            lo_h = hash_fn.lower(msg)
+            fh = submit("hash", lo_h)
+            lo_m = miller_fn.lower(pk, sig, lo_h.out_info)
+            fm = submit("miller", lo_m)
+            lo_f = fexp_fn.lower(*lo_m.out_info)
+            ff = submit("final_exp", lo_f)
+            hash_exe, miller_exe, fexp_exe = fh.result(), fm.result(), ff.result()
+        stage_compile_s = {k: round(v, 1) for k, v in done_at.items()}
+
+        def step(p, s, m):
+            f, ok = miller_exe(p, s, hash_exe(m))
+            return fexp_exe(f, ok)
+
+    out = step(pk, sig, msg)
     out.block_until_ready()
     compile_and_first = time.time() - t0
+    print(f"compile+first {compile_and_first:.1f}s stages={stage_compile_s}",
+          file=sys.stderr, flush=True)
     assert all(jax.device_get(out[:2])), "bench vector must verify"
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        out = fn(pk, sig, msg)
+        out = step(pk, sig, msg)
         out.block_until_ready()
         times.append(time.time() - t0)
     best = min(times)
     throughput = args.batch / best
 
-    # roofline: count logical field ops by abstract-tracing the pipeline
-    # (utils/profiling.count_ops — no device work), then express the
-    # measured throughput as sustained Fp-mul-equivalents/s.
-    from bls_verify_gadget_tpu.utils.profiling import count_ops
+    # roofline: logical field-op count per verify, precomputed by
+    # tools/gen_roofline.py (bench expresses the measured throughput as
+    # sustained Fp-mul-equivalents/s)
+    if args.live_roofline:
+        from bls_verify_gadget_tpu.utils.profiling import count_ops
 
-    with count_ops() as ctr:
-        jax.eval_shape(lambda p, s, m: bls.verify(p, s, m, MSG_LEN), pk, sig, msg)
-    fpmul_per_verify = ctr.fp_mul_equivalent() / args.batch
-    sustained_fpmul_s = fpmul_per_verify * throughput
+        with count_ops() as ctr:
+            jax.eval_shape(lambda p, s, m: bls.verify(p, s, m, MSG_LEN), pk, sig, msg)
+        fpmul_per_verify = ctr.fp_mul_equivalent() / args.batch
+    else:
+        roof = _embed("ROOFLINE.json")
+        fpmul_per_verify = roof["fpmul_per_verify"] if roof else None
 
-    # weak-scaling record (tools/bench_scaling.py writes SCALING.json; the
-    # virtual-mesh efficiencies ride along so the driver's BENCH_r{N}.json
-    # carries the scaling field)
-    scaling = None
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            scaling = json.load(f)
-
-    print(
-        json.dumps(
-            {
-                "metric": "bls_verify_throughput_per_chip",
-                "value": round(throughput, 2),
-                "unit": "verifies/s",
-                "vs_baseline": round(throughput / BASELINE_VERIFIES_PER_SEC, 4),
-                "batch": args.batch,
-                "steady_state_s": round(best, 4),
-                "compile_plus_first_run_s": round(compile_and_first, 1),
-                "roofline_fpmul_per_verify": round(fpmul_per_verify),
-                "roofline_sustained_fpmul_per_s": round(sustained_fpmul_s),
-                "device": str(jax.devices()[0]),
-                "scaling": scaling,
-            }
-        )
-    )
+    rec = {
+        "metric": "bls_verify_throughput_per_chip",
+        "value": round(throughput, 2),
+        "unit": "verifies/s",
+        "vs_baseline": round(throughput / BASELINE_VERIFIES_PER_SEC, 4),
+        "batch": args.batch,
+        "steady_state_s": round(best, 4),
+        "compile_plus_first_run_s": round(compile_and_first, 1),
+        "compile_stages_s": stage_compile_s,
+        "device": str(jax.devices()[0]),
+        "scaling": _embed("SCALING.json"),
+        "r1cs": _embed("R1CS_BENCH.json"),
+    }
+    if fpmul_per_verify is not None:
+        rec["roofline_fpmul_per_verify"] = round(fpmul_per_verify)
+        rec["roofline_sustained_fpmul_per_s"] = round(fpmul_per_verify * throughput)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

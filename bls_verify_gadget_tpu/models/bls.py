@@ -84,9 +84,12 @@ class BatchedBLS:
             h_jac = hash_to_g2(msg_u8, msg_len, lens=msg_lens)
             return CV.pt_to_affine(CV.FP2_OPS, h_jac)
 
-    def pairing_stage(self, pk_aff, sig_aff, h_aff):
-        """Stage 2 of verify: validity checks + the pairing product test
-        against a precomputed affine h = hash_to_g2(msg)."""
+    def miller_stage(self, pk_aff, sig_aff, h_aff):
+        """Stage 2a of verify: validity checks + the shared Miller loop for
+        e(-g1, sig) * e(pk, h).  Returns (f, checks_ok) with f the
+        un-final-exponentiated Fp12 accumulator — split out (like
+        hash_stage) so compile-lean callers can jit the Miller loop and the
+        final exponentiation as separate XLA programs."""
         pk_x, pk_y, pk_inf = pk_aff
         sig_x, sig_y, sig_inf = sig_aff
         h_x, h_y, h_inf = h_aff
@@ -106,18 +109,30 @@ class BatchedBLS:
                 pk_ok &= CV.g1_in_subgroup(pk_jac)
                 sig_ok &= sig_inf | CV.g2_in_subgroup(sig_jac)
 
-        # e(-g1, sig) * e(pk, h) == 1
-        with named_scope("bls_pairing"):
+        with named_scope("bls_miller_loop"):
             neg_g1 = (
                 jnp.broadcast_to(self.params.g1_x, pk_x.shape),
                 FP.neg(jnp.broadcast_to(self.params.g1_y, pk_y.shape)),
             )
-            prod = PR.multi_pairing([
+            f = PR.multi_miller_loop([
                 (neg_g1, (sig_x, sig_y), ~sig_inf),
                 ((pk_x, pk_y), (h_x, h_y), ~h_inf),
             ])
+        return f, pk_ok & sig_ok
+
+    def finalexp_stage(self, f, checks_ok):
+        """Stage 2b of verify: final exponentiation + the is-one test,
+        masked by the stage-2a validity checks."""
+        with named_scope("bls_final_exp"):
+            prod = PR.final_exponentiation(f)
             paired_one = T.fp12_is_one(prod)
-        return paired_one & pk_ok & sig_ok
+        return paired_one & checks_ok
+
+    def pairing_stage(self, pk_aff, sig_aff, h_aff):
+        """Stage 2 of verify: validity checks + the pairing product test
+        against a precomputed affine h = hash_to_g2(msg)."""
+        f, checks_ok = self.miller_stage(pk_aff, sig_aff, h_aff)
+        return self.finalexp_stage(f, checks_ok)
 
     def verify(self, pk_aff, sig_aff, msg_u8, msg_len: int, msg_lens=None):
         """Batched verification.

@@ -38,6 +38,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--json-out", type=str, default="",
+                    help="also write the record to a file (bench.py embeds "
+                         "R1CS_BENCH.json as its 'r1cs' field)")
     args = ap.parse_args()
 
     from bls_verify_gadget_tpu import constants as C
@@ -110,22 +113,22 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
 
-    print(
-        json.dumps(
-            {
-                "metric": "r1cs_eval_rows_per_s",
-                "value": round(n_rows * B / best),
-                "unit": "constraint-rows/s",
-                "rows": n_rows,
-                "batch": B,
-                "steady_state_s": round(best, 4),
-                "compile_plus_first_run_s": round(compile_s + wit_compile_s, 1),
-                "witness_gen": "device",
-                "witness_gen_s": round(min(wtimes), 4),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    rec = {
+        "metric": "r1cs_eval_rows_per_s",
+        "value": round(n_rows * B / best),
+        "unit": "constraint-rows/s",
+        "rows": n_rows,
+        "batch": B,
+        "steady_state_s": round(best, 4),
+        "compile_plus_first_run_s": round(compile_s + wit_compile_s, 1),
+        "witness_gen": "device",
+        "witness_gen_s": round(min(wtimes), 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(rec))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":
