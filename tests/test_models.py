@@ -1,10 +1,17 @@
 """End-to-end device batched verify against the conformance verify vectors
 (every case whose wire bytes decode; codec-level rejects are host-boundary
-concerns covered by test_conformance_golden.py)."""
+concerns covered by test_conformance_golden.py).
+
+Heavy tier: each test cold-compiles a full device pipeline (mixed-length
+hash + pairing + subgroup checks) on the CPU host — multi-minute XLA
+compiles.  The default tier's device end-to-end coverage is
+test_verify_smoke.py (one compile-lean staged pipeline)."""
 
 import numpy as np
 import jax
 import pytest
+
+pytestmark = pytest.mark.heavy
 
 from vector_loader import load_suite, unhex
 from bls_verify_gadget_tpu.golden import bls as gbls

@@ -1,11 +1,18 @@
 """Device pairing vs golden (after final exponentiation — line
-normalisations differ by subfield factors the easy part kills)."""
+normalisations differ by subfield factors the easy part kills).
+
+Heavy tier: each jitted multi_pairing is a multi-minute XLA CPU compile;
+the default tier's pairing coverage is the staged smoke pipeline
+(test_verify_smoke.py) plus the golden differentials."""
 
 import random
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 from bls_verify_gadget_tpu.ops import pairing as PR, tower as T
 from bls_verify_gadget_tpu.ops.fp import FP
