@@ -92,9 +92,11 @@ def main():
         bits = [(i * 7 + 1) % 2 for i in range(len(pts))]
         d = jax.tree.map(np.asarray, CV.g1_encode_batch(pts))
         bm = jnp.asarray(bits, jnp.uint32)
-        agg_t[n] = steady(
-            lambda dd, bb, m=mesh: sharded_masked_aggregate(m, dd, bb), d, bm
-        )
+        # jit the whole collective step: an un-jitted shard_map call
+        # re-traces on every invocation, which would time tracing, not
+        # the sharded execution
+        fn = jax.jit(lambda dd, bb, m=mesh: sharded_masked_aggregate(m, dd, bb))
+        agg_t[n] = steady(fn, d, bm)
         print(f"masked_aggregate ndev={n} t={agg_t[n]*1e3:.1f} ms", flush=True)
 
     rec = {
