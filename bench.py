@@ -124,6 +124,22 @@ def main():
     best = min(times)
     throughput = args.batch / best
 
+    # per-stage steady state: where the verify time goes (each stage timed
+    # on its own warmed inputs)
+    stage_times = None
+    if not args.single_program:
+        h = jax.block_until_ready(hash_exe(msg))
+        fm = jax.block_until_ready(miller_exe(pk, sig, h))
+        stage_times = {}
+        for name, fn in (
+            ("hash", lambda: hash_exe(msg)),
+            ("miller", lambda: miller_exe(pk, sig, h)),
+            ("final_exp", lambda: fexp_exe(*fm)),
+        ):
+            t0 = time.time()
+            jax.block_until_ready(fn())
+            stage_times[name] = round(time.time() - t0, 4)
+
     # roofline: logical field-op count per verify, precomputed by
     # tools/gen_roofline.py (bench expresses the measured throughput as
     # sustained Fp-mul-equivalents/s)
@@ -146,6 +162,7 @@ def main():
         "steady_state_s": round(best, 4),
         "compile_plus_first_run_s": round(compile_and_first, 1),
         "compile_stages_s": stage_compile_s,
+        "stage_steady_s": stage_times,
         "device": str(jax.devices()[0]),
         "scaling": _embed("SCALING.json"),
         "r1cs": _embed("R1CS_BENCH.json"),

@@ -264,6 +264,26 @@ def pt_mul_const(ops, p, scalar: int):
 
     bits = bin(scalar)[2:]  # MSB first
 
+    if _use_fused_pt():
+        # ENTIRE ladder in ONE launch (kernels.pt_mul_const): doubling
+        # runs + set-bit additions with the run structure in SMEM
+        segs, run = [], 0
+        for bit in bits[1:]:
+            run += 1
+            if bit == "1":
+                segs.append((run, 1))
+                run = 0
+        if run:
+            segs.append((run, 0))
+        if segs:
+            return _fused_pt_unflat(
+                ops,
+                FP.kernels.pt_mul_const(
+                    _fused_pt_coords(ops, [p]), ops.name, segs
+                ),
+            )
+        return p  # scalar == 1
+
     def dbl_scan(pt, count):
         if count == 0:
             return pt
@@ -300,7 +320,15 @@ def pt_mul_const(ops, p, scalar: int):
 
 def pt_mul_var(ops, p, scalar_limbs, nbits: int):
     """p * scalar for per-element variable scalars given as 16-bit limb
-    tensors (..., nlimb) (NOT Montgomery form), MSB-first scan over nbits."""
+    tensors (..., nlimb) (NOT Montgomery form), MSB-first scan over nbits.
+    On TPU the entire ladder is ONE fused launch (kernels.pt_mul_var)."""
+    if _use_fused_pt():
+        return _fused_pt_unflat(
+            ops,
+            FP.kernels.pt_mul_var(
+                _fused_pt_coords(ops, [p]), ops.name, scalar_limbs, nbits
+            ),
+        )
     idx = jnp.arange(nbits - 1, -1, -1, dtype=jnp.uint32)
     acc0 = pt_infinity_like(ops, p)
 

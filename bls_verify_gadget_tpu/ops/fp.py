@@ -309,6 +309,12 @@ class ModField:
         w = 4
         nwin = (exponent.bit_length() + w - 1) // w
         digits = [(exponent >> (w * i)) & 15 for i in range(nwin)][::-1]
+
+        from ..utils.config import config
+
+        if self._use_pallas() and config.fuse_pow:
+            # whole chain (table build + all windows) in ONE launch
+            return self.kernels.pow_win([a], 1, digits)[0]
         # table[i] = a^i, stacked (16, ..., n)
         tab = [jnp.broadcast_to(self.ONE, a.shape), a]
         for i in range(2, 16):
@@ -317,27 +323,12 @@ class ModField:
         dig_arr = jnp.asarray(np.array(digits, np.uint32))
         one = jnp.broadcast_to(self.ONE, a.shape)
 
-        from ..utils.config import config
-
-        if self._use_pallas() and config.fuse_pow:
-            # fused window steps, 4 windows per Pallas launch (leading
-            # zero-window padding keeps the value exact: 1^16 * a^0 == 1)
-            K = 4
-            pad = (-len(digits)) % K
-            dig_arr = jnp.asarray(
-                np.array([0] * pad + digits, np.uint32).reshape(-1, K)
-            )
-
-            def body(f, d):
-                ms = [table[d[j]] for j in range(K)]
-                return self.kernels.sqr4_mul_fp(f, ms), None
-        else:
-            def body(f, d):
-                for _ in range(w):
-                    f = self.mul(f, f)
-                sel = table[d]  # dynamic gather over the leading table axis
-                f = self.mul(f, sel)
-                return f, None
+        def body(f, d):
+            for _ in range(w):
+                f = self.mul(f, f)
+            sel = table[d]  # dynamic gather over the leading table axis
+            f = self.mul(f, sel)
+            return f, None
 
         f, _ = jax.lax.scan(body, one, dig_arr)
         return f

@@ -75,6 +75,14 @@ def _fp2_pow_const(a, exponent: int):
     w = 4
     nwin = (exponent.bit_length() + w - 1) // w
     digits = [(exponent >> (w * i)) & 15 for i in range(nwin)][::-1]
+
+    from ..utils.config import config
+
+    if T.FP._use_pallas() and config.fuse_pow:
+        # ENTIRE chain (in-kernel table build + all windows) in ONE launch
+        o = T.FP.kernels.pow_win([a[0], a[1]], 2, digits)
+        return (o[0], o[1])
+
     tab = [T.fp2_one_like(a), a]
     for i in range(2, 16):
         tab.append(T.fp2_mul(tab[i - 1], a))
@@ -83,30 +91,11 @@ def _fp2_pow_const(a, exponent: int):
     dig_arr = jnp.asarray(np.array(digits, np.uint32))
     one = T.fp2_one_like(a)
 
-    from ..utils.config import config
-
-    if T.FP._use_pallas() and config.fuse_pow:
-        # fused window steps, 4 windows per Pallas launch.  Leading digits
-        # pad with zero windows: f stays one through them (1^16 * tab[0]
-        # == 1), so the value is exact for any window count.
-        K = 4
-        pad = (-len(digits)) % K
-        dig_arr = jnp.asarray(
-            np.array([0] * pad + digits, np.uint32).reshape(-1, K)
-        )
-
-        def body(f, d):
-            coords = [f[0], f[1]]
-            for j in range(K):
-                coords += [t0[d[j]], t1[d[j]]]
-            o = T.FP.kernels.sqr4_mul(coords)
-            return (o[0], o[1]), None
-    else:
-        def body(f, d):
-            for _ in range(w):
-                f = T.fp2_sqr(f)
-            f = T.fp2_mul(f, (t0[d], t1[d]))
-            return f, None
+    def body(f, d):
+        for _ in range(w):
+            f = T.fp2_sqr(f)
+        f = T.fp2_mul(f, (t0[d], t1[d]))
+        return f, None
 
     f, _ = jax.lax.scan(body, one, dig_arr)
     return f

@@ -182,17 +182,73 @@ def _slice2(a, lo, hi):
     return (a[0][lo:hi], a[1][lo:hi])
 
 
+def _fused_miller_loop(xps, yps, qs, valids, f0):
+    """Whole Miller loop through the fused RUN kernels
+    (kernels.miller_dbl_run / miller_add, config.fuse_miller): one launch
+    per doubling run + one per set bit of |x| — ~11 kernel dispatches for
+    the entire loop.  The verify pipeline is launch-latency-bound on v5e,
+    so this is the first-order cost of the pairing stage."""
+    k = len(xps)
+    K = T.FP.kernels
+    v_u32 = [v.astype(jnp.uint32)[..., None] for v in valids]
+    f = f0
+    Ts = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qs]
+
+    def unpack(o):
+        f = T._unflat12(o[:12])
+        ts = []
+        for i in range(k):
+            b = 12 + 6 * i
+            ts.append(
+                ((o[b], o[b + 1]), (o[b + 2], o[b + 3]), (o[b + 4], o[b + 5]))
+            )
+        return f, ts
+
+    def dbl_run(f, ts, count):
+        coords = T._flat12(f)
+        for i in range(k):
+            X, Y, Z = ts[i]
+            coords += [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
+                       xps[i], yps[i], v_u32[i]]
+        return unpack(K.miller_dbl_run(coords, k, count))
+
+    def add_block(f, ts):
+        coords = T._flat12(f)
+        for i in range(k):
+            X, Y, Z = ts[i]
+            xq, yq = qs[i]
+            coords += [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
+                       xq[0], xq[1], yq[0], yq[1],
+                       xps[i], yps[i], v_u32[i]]
+        return unpack(K.miller_add(coords, k))
+
+    run = 0
+    for bit in _ABS_X_BITS_MSB[1:]:
+        run += 1
+        if bit:
+            f, Ts = dbl_run(f, Ts, run)
+            f, Ts = add_block(f, Ts)
+            run = 0
+    if run:
+        f, Ts = dbl_run(f, Ts, run)
+    return T.fp12_conj(f)  # x < 0
+
+
 def multi_miller_loop(pairs):
     """pairs: list of (p_aff, q_aff, valid) with p_aff = (xp, yp) Fp limb
     tensors, q_aff = (xq, yq) Fp2 pairs, valid a boolean mask (...,).
     Returns the shared Miller accumulator f (Fp12), conjugated for x < 0.
 
-    When every pair shares one 1-D batch shape, the k pairs are STACKED
-    along the batch axis so each Miller step (dbl/add + line coefficients)
-    is ONE kernel launch at k*B instead of k launches at B — the line
-    applications (sparse 014 multiplies into the shared f) stay sequential
-    as required.  The per-pair path below remains for heterogeneous
-    shapes."""
+    On TPU with config.fuse_miller, homogeneous-shape pairs go through the
+    fused RUN kernels (_fused_miller_loop): the whole loop is ~11 kernel
+    dispatches.  Otherwise, when every pair shares one 1-D batch shape,
+    the k pairs are STACKED along the batch axis so each Miller step
+    (dbl/add + line coefficients) is ONE kernel launch at k*B instead of k
+    launches at B — the line applications (sparse 014 multiplies into the
+    shared f) stay sequential as required.  The per-pair path below
+    remains for heterogeneous shapes."""
+    from ..utils.config import config
+
     xps = [p[0] for p, _, _ in pairs]
     yps = [p[1] for p, _, _ in pairs]
     qs = [q for _, q, _ in pairs]
@@ -200,6 +256,13 @@ def multi_miller_loop(pairs):
     k = len(pairs)
 
     lead = xps[0].shape[:-1]
+    homogeneous = all(x.shape[:-1] == lead for x in xps + yps) and all(
+        q[0][0].shape[:-1] == lead for q in qs
+    )
+    if T.FP._use_pallas() and config.fuse_miller and homogeneous:
+        return _fused_miller_loop(
+            xps, yps, qs, valids, _fp12_one_like_from(qs[0][0])
+        )
     stacked = (
         k > 1
         and len(lead) == 1
@@ -323,9 +386,13 @@ def _fp12_one_like_from(fp2_sample):
 
 def _exp_by_neg_x(m):
     """m^x (x the negative BLS parameter) for m in the cyclotomic subgroup:
-    Granger-Scott squarings; static run-structure on TPU, compact cmov scan
-    on CPU/test backends (see config.static_ladders)."""
-    from ..utils.config import use_static_ladders
+    Granger-Scott squarings; ONE fused launch on TPU (config.fuse_expx),
+    else static run-structure on TPU, compact cmov scan on CPU/test
+    backends (see config.static_ladders)."""
+    from ..utils.config import config, use_static_ladders
+
+    if T.FP._use_pallas() and config.fuse_expx:
+        return T.fp12_conj(T.fp12_expx(m, _ABS_X_BITS_MSB))
 
     if not use_static_ladders():
         bits = jnp.asarray(np.array(_ABS_X_BITS_MSB, np.uint32))

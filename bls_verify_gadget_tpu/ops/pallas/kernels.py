@@ -715,21 +715,10 @@ def _mul014_kernel(*refs, n, tb, n0, mxu):
     _store_rows(outs, _flat_f12(out))
 
 
-def _dblstep_kernel(*refs, n, tb, n0, mxu):
-    """Fused Miller doubling step (pairing._dbl_step: CLN homogeneous
-    projective, M-twist): the full T update + line coefficients in ONE
-    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, w1, w2, then
-    outputs X' Y' Z' (6) + line i_, c1l, c4l (6).
-
-    The twist coefficient b' = 4(1+u), so e = b'*(3Z^2) is computed
-    multiplication-free as 4*xi(3Z^2) — exact, and it keeps launch-uniform
-    constant columns out of the kernel body."""
-    ins, outs = refs[:8], refs[11:23]
-    p_limbs, mont = _make_mont(refs[8], refs[9], refs[10], n=n, tb=tb, n0=n0, mxu=mxu)
-    f2 = _F2Rows(p_limbs, mont, n, tb)
-    rows = _load_rows(ins)
-    X, Y, Z = _group_f2(rows[:6])
-    xp, yp = rows[6], rows[7]
+def _miller_dbl_rows(f2, X, Y, Z, xp, yp):
+    """CLN doubling step (pairing._dbl_step) on row elements:
+    -> ((X', Y', Z'), (i_, c1l, c4l)).  The twist coefficient b' = 4(1+u),
+    so e = b'*(3Z^2) is computed multiplication-free as 4*xi(3Z^2)."""
     a_ = f2.half(f2.mul(X, Y))
     b_ = f2.sqr(Y)
     c_ = f2.sqr(Z)
@@ -749,20 +738,28 @@ def _dblstep_kernel(*refs, n, tb, n0, mxu):
     j3 = f2.add(f2.add(j_, j_), j_)
     c1l = f2.muls(j3, xp)
     c4l = f2.muls(f2.neg(h_), yp)
+    return (x3, y3, z3), (i_, c1l, c4l)
+
+
+def _dblstep_kernel(*refs, n, tb, n0, mxu):
+    """Fused Miller doubling step (pairing._dbl_step: CLN homogeneous
+    projective, M-twist): the full T update + line coefficients in ONE
+    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, w1, w2, then
+    outputs X' Y' Z' (6) + line i_, c1l, c4l (6)."""
+    ins, outs = refs[:8], refs[11:23]
+    p_limbs, mont = _make_mont(refs[8], refs[9], refs[10], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    X, Y, Z = _group_f2(rows[:6])
+    xp, yp = rows[6], rows[7]
+    (x3, y3, z3), (i_, c1l, c4l) = _miller_dbl_rows(f2, X, Y, Z, xp, yp)
     _store_rows(outs, [x3[0], x3[1], y3[0], y3[1], z3[0], z3[1],
                        i_[0], i_[1], c1l[0], c1l[1], c4l[0], c4l[1]])
 
 
-def _addstep_kernel(*refs, n, tb, n0, mxu):
-    """Fused Miller mixed-addition step (pairing._add_step) in ONE launch.
-    refs: X (2), Y (2), Z (2), xq (2), yq (2), xp, yp, p, w1, w2, then
-    outputs X' Y' Z' (6) + line c0l, c1l, c4l (6)."""
-    ins, outs = refs[:12], refs[15:27]
-    p_limbs, mont = _make_mont(refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu)
-    f2 = _F2Rows(p_limbs, mont, n, tb)
-    rows = _load_rows(ins)
-    X, Y, Z, xq, yq = _group_f2(rows[:10])
-    xp, yp = rows[10], rows[11]
+def _miller_add_rows(f2, X, Y, Z, xq, yq, xp, yp):
+    """CLN mixed-addition step (pairing._add_step) on row elements:
+    -> ((X', Y', Z'), (c0l, c1l, c4l))."""
     yqz = f2.mul(yq, Z)
     xqz = f2.mul(xq, Z)
     th = f2.sub(Y, yqz)
@@ -783,6 +780,20 @@ def _addstep_kernel(*refs, n, tb, n0, mxu):
     c0l = f2.sub(p1, p2)
     c1l = f2.muls(f2.neg(th), xp)
     c4l = f2.muls(lm, yp)
+    return (x3, y3, z3), (c0l, c1l, c4l)
+
+
+def _addstep_kernel(*refs, n, tb, n0, mxu):
+    """Fused Miller mixed-addition step (pairing._add_step) in ONE launch.
+    refs: X (2), Y (2), Z (2), xq (2), yq (2), xp, yp, p, w1, w2, then
+    outputs X' Y' Z' (6) + line c0l, c1l, c4l (6)."""
+    ins, outs = refs[:12], refs[15:27]
+    p_limbs, mont = _make_mont(refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    X, Y, Z, xq, yq = _group_f2(rows[:10])
+    xp, yp = rows[10], rows[11]
+    (x3, y3, z3), (c0l, c1l, c4l) = _miller_add_rows(f2, X, Y, Z, xq, yq, xp, yp)
     _store_rows(outs, [x3[0], x3[1], y3[0], y3[1], z3[0], z3[1],
                        c0l[0], c0l[1], c1l[0], c1l[1], c4l[0], c4l[1]])
 
@@ -855,11 +866,12 @@ def _elems_to_rows(elems, coord):
     return list(elems)
 
 
-def _ptdbl_kernel(*refs, n, tb, n0, mxu, coord, count=1):
+def _ptdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, coord):
     """Fused Jacobian point doubling (curve.pt_double), ONE launch.
     coord 'fp' (G1): refs = X, Y, Z, p, w1, w2, 3 outputs.
     coord 'fp2' (G2): refs = X (2), Y (2), Z (2), p, w1, w2, 6 outputs.
-    `count` > 1 iterates the doubling in-kernel via fori_loop — a ladder's
+    The doubling iterates cnt times in-kernel (fori_loop over the SMEM
+    run-length scalar, so every ladder run shares one Mosaic payload) — a
     doubling run costs one launch + one HBM round-trip total."""
     nc = 2 if coord == "fp2" else 1
     nin = 3 * nc
@@ -869,18 +881,15 @@ def _ptdbl_kernel(*refs, n, tb, n0, mxu, coord, count=1):
     )
     F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
     elems = _rows_to_elems(F, _load_rows(ins), coord)
-    if count == 1:
-        out = _pt_dbl_body(F, *elems)
-    else:
-        def body(_, flat):
-            o = _pt_dbl_body(F, *_rows_to_elems(F, list(flat), coord))
-            return tuple(_elems_to_rows(o, coord))
 
-        flat = jax.lax.fori_loop(
-            0, count, body, tuple(_elems_to_rows(elems, coord))
-        )
-        out = _rows_to_elems(F, list(flat), coord)
-    _store_rows(outs, _elems_to_rows(out, coord))
+    def body(_, flat):
+        o = _pt_dbl_body(F, *_rows_to_elems(F, list(flat), coord))
+        return tuple(_elems_to_rows(o, coord))
+
+    flat = jax.lax.fori_loop(
+        0, cnt_ref[0], body, tuple(_elems_to_rows(elems, coord))
+    )
+    _store_rows(outs, list(flat))
 
 
 def _ptadd_kernel(*refs, n, tb, n0, mxu, coord):
@@ -909,42 +918,105 @@ def _ptadd_kernel(*refs, n, tb, n0, mxu, coord):
     _store_rows(outs, _elems_to_rows(out, coord))
 
 
-def _sqr4mul_kernel(*refs, n, tb, n0, mxu, k=1):
-    """Fused 4-bit pow-window steps: k rounds of (f^16 * m_j), 11 Montgomery
-    muls per round, in ONE launch — the body of the windowed _fp2_pow_const
-    scan (hash_to_g2).  refs: f (2), m_0..m_{k-1} (2k), p, w1, w2,
-    2 outputs."""
-    nin = 2 + 2 * k
-    ins, outs = refs[:nin], refs[nin + 3:nin + 5]
+def _ptmulconst_kernel(seg_ref, *refs, n, tb, n0, mxu, coord, nseg):
+    """Fused constant-scalar point multiplication — the ENTIRE static
+    double-and-add ladder in ONE launch.  Starting from acc = P (top set
+    bit), for each MSB-first segment s < nseg:
+
+        acc = [2^len_s] acc     (pt_dbl_body, len_s from SMEM)
+        acc = acc + P           iff flag_s (segment ends on a set bit),
+                                complete addition, applied via cmov
+
+    seg_ref: (2, nseg) SMEM int32 [lens; flags] — every scalar with the
+    same segment count shares one Mosaic payload.
+
+    coord 'fp': refs = P (3), p, w1, w2, one_col, 3 outputs.
+    coord 'fp2': refs = P (6), p, w1, w2, one_col, 6 outputs."""
+    nc = 2 if coord == "fp2" else 1
+    nin = 3 * nc
+    ins, outs = refs[:nin], refs[nin + 4:]
     p_limbs, mont = _make_mont(
         refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
     )
-    f2 = _F2Rows(p_limbs, mont, n, tb)
+    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    zero_rows = jnp.zeros((n, tb), jnp.uint32)
+    F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
+    base_rows = _load_rows(ins)
+    base = _rows_to_elems(F, base_rows, coord)
+    if coord == "fp2":
+        inf = ((one_rows, zero_rows), (one_rows, zero_rows),
+               (zero_rows, zero_rows))
+    else:
+        inf = (one_rows, one_rows, zero_rows)
+
+    def seg_body(s, flat):
+        def dbl(_, fl):
+            o = _pt_dbl_body(F, *_rows_to_elems(F, list(fl), coord))
+            return tuple(_elems_to_rows(o, coord))
+
+        flat = jax.lax.fori_loop(0, seg_ref[0, s], dbl, flat)
+        acc = _rows_to_elems(F, list(flat), coord)
+        added = _pt_add_body(F, tuple(acc), tuple(base), inf)
+        do_add = seg_ref[1, s] > 0
+        return tuple(
+            jnp.where(do_add, a, b)
+            for a, b in zip(_elems_to_rows(added, coord), flat)
+        )
+
+    flat = jax.lax.fori_loop(0, nseg, seg_body, tuple(base_rows))
+    _store_rows(outs, list(flat))
+
+
+def _powwin_kernel(dig_ref, *refs, n, tb, n0, mxu, nc, nwin):
+    """Fused windowed pow — a^exp for a host-constant exponent, the ENTIRE
+    chain in ONE launch: the 16-entry window table is built in-kernel
+    (14 multiplies), then nwin MSB-first 4-bit windows each do 4 squarings
+    + one multiply by the 16-way-cmov-selected entry.  Digits ride in SMEM
+    (dig_ref, (nwin,) int32, zero-padded at the FRONT — leading zero
+    windows keep f == 1 exactly), so every exponent of a given width
+    shares one Mosaic payload.
+
+    nc=1 (Fp): refs = a, p, w1, w2, one_col, 1 output.
+    nc=2 (Fp2): refs = a0, a1, p, w1, w2, one_col, 2 outputs."""
+    ins, outs = refs[:nc], refs[nc + 4:]
+    p_limbs, mont = _make_mont(
+        refs[nc], refs[nc + 1], refs[nc + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    one_rows = jnp.broadcast_to(refs[nc + 3][:], (n, tb))
+    zero_rows = jnp.zeros((n, tb), jnp.uint32)
     rows = _load_rows(ins)
-    f = (rows[0], rows[1])
-    for j in range(k):
+    if nc == 2:
+        F = _F2Rows(p_limbs, mont, n, tb)
+        a = (rows[0], rows[1])
+        one = (one_rows, zero_rows)
+        flat = lambda e: list(e)
+    else:
+        F = _F1Rows(p_limbs, mont, n, tb)
+        a = rows[0]
+        one = one_rows
+        flat = lambda e: [e]
+    tab = [one, a]
+    for _ in range(14):
+        tab.append(F.mul(tab[-1], a))
+
+    def body(w, fl):
+        f = (fl[0], fl[1]) if nc == 2 else fl[0]
         for _ in range(4):
-            f = f2.sqr(f)
-        f = f2.mul(f, (rows[2 + 2 * j], rows[3 + 2 * j]))
-    _store_rows(outs, [f[0], f[1]])
+            f = F.sqr(f)
+        d = dig_ref[w]
+        sel = tab[0]
+        for t in range(1, 16):
+            m = (d == t)
+            if nc == 2:
+                sel = (jnp.where(m, tab[t][0], sel[0]),
+                       jnp.where(m, tab[t][1], sel[1]))
+            else:
+                sel = jnp.where(m, tab[t], sel)
+        f = F.mul(f, sel)
+        return tuple(flat(f))
 
-
-def _sqr4mul_fp_kernel(*refs, n, tb, n0, mxu, k=1):
-    """Fp sibling of _sqr4mul_kernel: k rounds of f^16 * m_j (5 Montgomery
-    muls per round) in ONE launch — the body of FP.pow_const's windowed
-    scan.  refs: f, m_0..m_{k-1}, p, w1, w2, 1 output."""
-    nin = 1 + k
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    f = jnp.transpose(refs[0][:], (1, 0))
-    for j in range(k):
-        m = jnp.transpose(refs[1 + j][:], (1, 0))
-        for _ in range(4):
-            f = mont(f, f)
-        f = mont(f, m)
-    refs[nin + 3][:] = jnp.transpose(f, (1, 0))
-
+    out = jax.lax.fori_loop(0, nwin, body, tuple(flat(one)))
+    _store_rows(outs, list(out))
 
 def _gs_body(f2, Z):
     """One Granger-Scott cyclotomic square on GS z-ordered _F2Rows
@@ -981,15 +1053,14 @@ def _gs_body(f2, Z):
     ]
 
 
-def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu, count=1):
+def _cyclo_sqr_kernel(cnt_ref, *refs, n, tb, n0, mxu):
     """Fused Granger-Scott cyclotomic square: 9 Fp2 squares (18 Montgomery
     muls) + all xi/combination arithmetic in ONE launch (mirrors
     tower.fp12_cyclotomic_sqr's jnp fallback / golden fp12_cyclotomic_sqr).
 
-    `count` > 1 iterates the square count times INSIDE the launch via
-    fori_loop (one kernel body in the IR regardless of run length) — the
-    final-exp x-chains' squaring runs become one launch per run instead of
-    one per squaring.
+    The square iterates cnt times INSIDE the launch via fori_loop over the
+    SMEM run-length scalar — the final-exp x-chains' squaring runs become
+    one launch per run, and every run length shares ONE Mosaic payload.
 
     refs: z0c0, z0c1, ..., z5c0, z5c1 (12 inputs in the GS z-ordering —
     the caller does the fp12<->z coefficient permutation), p, w1, w2,
@@ -1001,20 +1072,146 @@ def _cyclo_sqr_kernel(*refs, n, tb, n0, mxu, count=1):
     )
     f2 = _F2Rows(p_limbs, mont, n, tb)
     Z = _group_f2(_load_rows(ins))
-    if count == 1:
-        zn = _gs_body(f2, Z)
-    else:
-        def body(_, flat):
-            zz = _gs_body(f2, _group_f2(list(flat)))
-            return tuple(c for z in zz for c in z)
 
-        flat = jax.lax.fori_loop(
-            0, count, body, tuple(c for z in Z for c in z)
-        )
-        zn = _group_f2(list(flat))
-    for i in range(6):
-        outs[2 * i][:] = jnp.transpose(zn[i][0], (1, 0))
-        outs[2 * i + 1][:] = jnp.transpose(zn[i][1], (1, 0))
+    def body(_, flat):
+        zz = _gs_body(f2, _group_f2(list(flat)))
+        return tuple(c for z in zz for c in z)
+
+    flat = jax.lax.fori_loop(
+        0, cnt_ref[0], body, tuple(c for z in Z for c in z)
+    )
+    _store_rows(outs, list(flat))
+
+
+# fp12 coefficient-major <-> Granger-Scott z ordering (self-inverse: it
+# swaps a1<->b1 and a2<->b0; tower.fp12_cyclotomic_sqr_k does the same
+# permutation outside the kernel)
+_Z_PERM = [0, 1, 8, 9, 6, 7, 4, 5, 2, 3, 10, 11]
+
+
+def _expx_kernel(seg_ref, *refs, n, tb, n0, mxu, nseg):
+    """Fused cyclotomic exp-by-|x| — the ENTIRE final-exp x-chain in ONE
+    launch.  Starting from f = m (the top set bit), for each MSB-first
+    segment s < nseg:
+
+        f = f^(2^len_s)    Granger-Scott squares (len_s from SMEM)
+        f = f * m          iff flag_s (the segment ends on a set bit),
+                           applied branch-free via cmov
+
+    seg_ref is a (2, nseg) SMEM int32 [lens; flags], so every exponent
+    shares one Mosaic payload.  Valid only for m in the cyclotomic
+    subgroup (as after the easy part); the caller applies the final
+    conjugation for x < 0.
+
+    refs: 12 m coords (fp12 coefficient-major), p, w1, w2; 12 outputs."""
+    ins, outs = refs[:12], refs[15:27]
+    p_limbs, mont = _make_mont(
+        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    m_rows = _load_rows(ins)
+    m12 = _group_f12(m_rows)
+
+    def seg_body(s, flat):
+        def sq(_, fl):
+            zz = _gs_body(f2, _group_f2([fl[i] for i in _Z_PERM]))
+            zr = [c for z in zz for c in z]
+            out = [None] * 12
+            for j, i in enumerate(_Z_PERM):
+                out[i] = zr[j]
+            return tuple(out)
+
+        flat = jax.lax.fori_loop(0, seg_ref[0, s], sq, flat)
+        fm = _flat_f12(_f12_mul(f2, _group_f12(list(flat)), m12))
+        do_mul = seg_ref[1, s] > 0
+        return tuple(jnp.where(do_mul, a, b) for a, b in zip(fm, flat))
+
+    flat = jax.lax.fori_loop(0, nseg, seg_body, tuple(m_rows))
+    _store_rows(outs, list(flat))
+
+
+def _miller_line_apply(f2, f, line, valid, one2, zero2):
+    """f * line with the line neutralised (1, 0, 0) where valid is False —
+    the in-kernel form of pairing._neutral_line + fp12_mul_by_014."""
+    c0 = f2.cmov(valid, line[0], one2)
+    c1 = f2.cmov(valid, line[1], zero2)
+    c4 = f2.cmov(valid, line[2], zero2)
+    return _f12_mul_014(f2, f, c0, c1, c4)
+
+
+def _millerdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, k):
+    """Fused Miller doubling RUN: `cnt` (a runtime SMEM scalar — one Mosaic
+    payload covers every run length) iterations of
+
+        f = f^2;  for each pair i: T_i, line_i = dbl_step(T_i);
+                  f = f * line_i   (neutralised where pair i is invalid)
+
+    in ONE launch — an entire doubling segment of the Miller loop costs one
+    kernel dispatch + one HBM round-trip instead of (1 + 2k) * run.
+
+    refs: 12 f coords; per pair i < k: X (2), Y (2), Z (2), xp, yp,
+    valid (uint32 rows, row 0 is the mask); p, w1, w2, one_col; then
+    outputs: 12 f' + per pair X' Y' Z' (6k)."""
+    nin = 12 + 9 * k
+    ins, outs = refs[:nin], refs[nin + 4:]
+    p_limbs, mont = _make_mont(
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    zero_rows = jnp.zeros((n, tb), jnp.uint32)
+    one2, zero2 = (one_rows, zero_rows), (zero_rows, zero_rows)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    xps = [rows[12 + 9 * i + 6] for i in range(k)]
+    yps = [rows[12 + 9 * i + 7] for i in range(k)]
+    valids = [rows[12 + 9 * i + 8][0:1, :] > 0 for i in range(k)]
+
+    def body(_, flat):
+        f = _group_f12(list(flat[:12]))
+        f = _f12_sqr(f2, f)
+        out_t = []
+        for i in range(k):
+            X, Y, Z = _group_f2(list(flat[12 + 6 * i : 12 + 6 * i + 6]))
+            Tn, line = _miller_dbl_rows(f2, X, Y, Z, xps[i], yps[i])
+            f = _miller_line_apply(f2, f, line, valids[i], one2, zero2)
+            out_t += [c for e in Tn for c in e]
+        return tuple(_flat_f12(f)) + tuple(out_t)
+
+    flat0 = tuple(rows[:12]) + tuple(
+        c for i in range(k) for c in rows[12 + 9 * i : 12 + 9 * i + 6]
+    )
+    flat = jax.lax.fori_loop(0, cnt_ref[0], body, flat0)
+    _store_rows(outs, list(flat))
+
+
+def _milleradd_kernel(*refs, n, tb, n0, mxu, k):
+    """Fused Miller mixed-addition BLOCK: for each pair i,
+    T_i, line_i = add_step(T_i, Q_i); f = f * line_i (neutralised where
+    invalid) — one launch per set bit of the loop parameter.
+
+    refs: 12 f coords; per pair: X (2), Y (2), Z (2), xq (2), yq (2),
+    xp, yp, valid; p, w1, w2, one_col; outputs 12 f' + 6k T'."""
+    nin = 12 + 13 * k
+    ins, outs = refs[:nin], refs[nin + 4:]
+    p_limbs, mont = _make_mont(
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    zero_rows = jnp.zeros((n, tb), jnp.uint32)
+    one2, zero2 = (one_rows, zero_rows), (zero_rows, zero_rows)
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    f = _group_f12(rows[:12])
+    out_t = []
+    for i in range(k):
+        o = 12 + 13 * i
+        X, Y, Z, xq, yq = _group_f2(rows[o : o + 10])
+        xp, yp = rows[o + 10], rows[o + 11]
+        valid = rows[o + 12][0:1, :] > 0
+        Tn, line = _miller_add_rows(f2, X, Y, Z, xq, yq, xp, yp)
+        f = _miller_line_apply(f2, f, line, valid, one2, zero2)
+        out_t += [c for e in Tn for c in e]
+    _store_rows(outs, _flat_f12(f) + out_t)
 
 
 class FieldKernels:
@@ -1140,7 +1337,7 @@ class FieldKernels:
         return self._fp2_call(_fp2sqr_kernel, [a0, a1])
 
     def _tower_call(self, kernel_fn, operands, n_out, extra=None,
-                    extra_consts=None, max_tile=None):
+                    extra_consts=None, max_tile=None, count_scalar=None):
         """Generic multi-in/multi-out fused tower kernel plumbing:
         broadcast + flatten + tile/pad the operands, launch, unflatten.
         `extra`: additional static kwargs for the kernel body.
@@ -1148,7 +1345,12 @@ class FieldKernels:
         as inputs after p/w1/w2 (Mosaic rejects captured array constants,
         so curve constants ride in as operands).
         `max_tile`: per-kernel tile cap overriding self.tile (grid grows to
-        cover the batch; total work and semantics are unchanged)."""
+        cover the batch; total work and semantics are unchanged).
+        `count_scalar`: in-kernel iteration count(s), passed as a leading
+        SMEM int32 ref (the kernel's first positional arg) — RUNTIME
+        values, so every run structure shares one Mosaic payload.  A python
+        int becomes a (1,) scalar; a list/array rides in with its own
+        shape."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -1170,6 +1372,17 @@ class FieldKernels:
             ops = [jnp.pad(x, ((0, pad), (0, 0))) for x in ops]
         total = ops[0].shape[0]
         vec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        lead_specs, lead_vals = [], []
+        if count_scalar is not None:
+            arr = np.atleast_1d(np.asarray(count_scalar, np.int32))
+            lead_specs.append(
+                pl.BlockSpec(
+                    arr.shape,
+                    lambda i: (0,) * arr.ndim,
+                    memory_space=pltpu.SMEM,
+                )
+            )
+            lead_vals.append(jnp.asarray(arr))
         const_specs, const_vals = self._mont_inputs()
         for col in extra_consts or []:
             const_specs.append(
@@ -1183,13 +1396,13 @@ class FieldKernels:
             ),
             grid=(total // tile,),
             compiler_params=self._compiler_params(),
-            in_specs=[vec] * len(ops) + const_specs,
+            in_specs=lead_specs + [vec] * len(ops) + const_specs,
             out_specs=tuple([vec] * n_out),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((total, n), jnp.uint32)
                 for _ in range(n_out)
             ),
-        )(*ops, *const_vals)
+        )(*lead_vals, *ops, *const_vals)
         if pad:
             outs = [o[:bsz] for o in outs]
         return [o.reshape(lead + (n,)) for o in outs]
@@ -1234,28 +1447,6 @@ class FieldKernels:
         self._rec(38, 84, jnp.broadcast_shapes(*[x.shape for x in coords]))
         return self._tower_call(_addstep_kernel, list(coords), 12)
 
-    def sqr4_mul(self, coords):
-        """Fused pow-window steps: coords = f (2) + k table entries (2k);
-        applies k rounds of f^16 * m_j in one launch."""
-        k = (len(coords) - 2) // 2
-        self._rec(
-            11 * k, 24 * k, jnp.broadcast_shapes(*[x.shape for x in coords])
-        )
-        return self._tower_call(
-            _sqr4mul_kernel, list(coords), 2,
-            extra=({"k": k} if k != 1 else None),
-        )
-
-    def sqr4_mul_fp(self, f, ms):
-        """Fused Fp pow-window steps: k rounds of f^16 * m_j in one launch
-        (FP.pow_const scan body).  ms: list of k table entries."""
-        k = len(ms)
-        self._rec(5 * k, 0, jnp.broadcast_shapes(*[x.shape for x in [f] + ms]))
-        return self._tower_call(
-            _sqr4mul_fp_kernel, [f] + list(ms), 1,
-            extra=({"k": k} if k != 1 else None),
-        )[0]
-
     def pt_dbl(self, coords, coord, count=1):
         """Fused Jacobian doubling (curve.pt_double): coords = the point's
         limb tensors (3 for coord='fp', 6 component-major for 'fp2').
@@ -1267,11 +1458,9 @@ class FieldKernels:
             (40 if nc == 2 else 20) * count,
             jnp.broadcast_shapes(*[x.shape for x in coords]),
         )
-        extra = {"coord": coord}
-        if count != 1:
-            extra["count"] = count
         return self._tower_call(
-            _ptdbl_kernel, list(coords), 3 * nc, extra=extra
+            _ptdbl_kernel, list(coords), 3 * nc, extra={"coord": coord},
+            count_scalar=count,
         )
 
     def pt_add(self, coords, coord):
@@ -1288,6 +1477,125 @@ class FieldKernels:
             extra_consts=[self.one_col],
         )
 
+    def miller_dbl_run(self, coords, k, count):
+        """Fused Miller doubling run: `count` iterations of [f = f^2; per
+        pair dbl_step + neutralised line multiply] in ONE launch.
+
+        coords: 12 f limb tensors + per pair (k total) X (2), Y (2), Z (2),
+        xp, yp, valid (uint32, any (..., 1)-broadcastable shape).  `count`
+        is a python int — it rides into the kernel as an SMEM scalar, so
+        every run length shares one Mosaic payload.  Returns 12 f' + 6k T'
+        tensors."""
+        self._rec(
+            (36 + 70 * k) * count,
+            (112 + 150 * k) * count,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        return self._tower_call(
+            _millerdbl_kernel, list(coords), 12 + 6 * k,
+            extra={"k": k}, extra_consts=[self.one_col],
+            count_scalar=count,
+        )
+
+    def miller_add(self, coords, k):
+        """Fused Miller mixed-addition block: per pair add_step +
+        neutralised line multiply, ONE launch.  coords: 12 f + per pair
+        X (2), Y (2), Z (2), xq (2), yq (2), xp, yp, valid.  Returns
+        12 f' + 6k T'."""
+        self._rec(
+            83 * k, 40 + 204 * k,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        return self._tower_call(
+            _milleradd_kernel, list(coords), 12 + 6 * k,
+            extra={"k": k}, extra_consts=[self.one_col],
+        )
+
+    def pt_mul_const(self, coords, coord, segs):
+        """Fused constant-scalar point multiply: the whole static ladder
+        (doubling runs + set-bit additions, from acc = P at the top bit)
+        in ONE launch.  coords: the base point's limb tensors (3 for
+        coord='fp', 6 component-major for 'fp2'); segs: static
+        [(run_len, ends_on_set_bit), ...] MSB-first after the top bit.
+        Returns the 3 (or 6) accumulator tensors."""
+        nc = 2 if coord == "fp2" else 1
+        nseg = len(segs)
+        ndbl = sum(s[0] for s in segs)
+        self._rec(
+            (17 if nc == 2 else 8) * ndbl + (58 if nc == 2 else 23) * nseg,
+            (40 if nc == 2 else 20) * ndbl + (110 if nc == 2 else 50) * nseg,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        arr = np.array(
+            [[s[0] for s in segs], [1 if s[1] else 0 for s in segs]],
+            np.int32,
+        )
+        return self._tower_call(
+            _ptmulconst_kernel, list(coords), 3 * nc,
+            extra={"coord": coord, "nseg": nseg},
+            extra_consts=[self.one_col], count_scalar=arr,
+        )
+
+    # fixed window counts per coordinate degree so every exponent shares
+    # one Mosaic payload (Fp exponents <= 384 bits, Fp2 <= 768; leading
+    # zero digits are exact: f stays one through them)
+    _POW_NWIN = {1: 96, 2: 192}
+
+    def pow_win(self, coords, nc, digits):
+        """Fused windowed pow: a^exp for a host-constant exponent — table
+        build + every 4-bit window (4 squarings + table multiply) in ONE
+        launch.  coords: a's limb tensors (1 for Fp, 2 for Fp2); digits:
+        MSB-first 4-bit digits of the exponent.  Returns nc tensors."""
+        nwin = self._POW_NWIN[nc]
+        assert len(digits) <= nwin, (len(digits), nwin)
+        digs = np.array([0] * (nwin - len(digits)) + list(digits), np.int32)
+        self._rec(
+            (42 + 11 * nwin) if nc == 2 else (14 + 5 * nwin),
+            (28 + 5 * nwin) if nc == 2 else 0,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        return self._tower_call(
+            _powwin_kernel, list(coords), nc,
+            extra={"nc": nc, "nwin": nwin}, extra_consts=[self.one_col],
+            count_scalar=digs,
+        )
+
+    def pt_mul_var(self, coords, coord, scalar_limbs, nbits):
+        """Fused variable-scalar point multiply: the whole nbits-long
+        double-and-cmov-add ladder in ONE launch.  coords: base point limb
+        tensors (3 for 'fp', 6 for 'fp2'); scalar_limbs: (..., m) uint32
+        16-bit limbs (raw, NOT Montgomery).  Returns the accumulator
+        tensors ([scalar] P from infinity — matches curve.pt_mul_var)."""
+        nc = 2 if coord == "fp2" else 1
+        n = self.n
+        self._rec(
+            (17 + 58 if nc == 2 else 8 + 23) * nbits,
+            (40 + 110 if nc == 2 else 20 + 50) * nbits,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        # pad the scalar to n limbs and pre-align so the scan's first bit
+        # (bit nbits-1) sits at row n-1 bit 15
+        s = scalar_limbs.astype(jnp.uint32)
+        m = s.shape[-1]
+        assert nbits <= 16 * m <= 16 * n
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, n - m)])
+        limb_sh, bit_sh = divmod(16 * n - nbits, 16)
+        if limb_sh:
+            s = jnp.concatenate(
+                [jnp.zeros_like(s[..., :limb_sh]), s[..., : n - limb_sh]],
+                axis=-1,
+            )
+        if bit_sh:
+            lo = jnp.concatenate(
+                [jnp.zeros_like(s[..., :1]), s[..., :-1]], axis=-1
+            ) >> (16 - bit_sh)
+            s = ((s << bit_sh) & 0xFFFF) | lo
+        return self._tower_call(
+            _ptmulvar_kernel, list(coords) + [s], 3 * nc,
+            extra={"coord": coord}, extra_consts=[self.one_col],
+            count_scalar=nbits,
+        )
+
     def cyclo_sqr(self, z_coords, count=1):
         """Fused Granger-Scott cyclotomic square: z_coords are the 12 limb
         tensors of the GS z-ordering (z0.c0, z0.c1, ..., z5.c1); returns 12
@@ -1297,8 +1605,28 @@ class FieldKernels:
         shape = jnp.broadcast_shapes(*[x.shape for x in operands])
         self._rec(18 * count, 70 * count, shape)
         return self._tower_call(
-            _cyclo_sqr_kernel, operands, 12,
-            extra=({"count": count} if count != 1 else None),
+            _cyclo_sqr_kernel, operands, 12, count_scalar=count,
+        )
+
+    def exp_x(self, coords, segs):
+        """Fused cyclotomic exp-by-|x| (the whole final-exp x-chain, ONE
+        launch).  coords: 12 m limb tensors (coefficient-major); segs:
+        static [(run_len, ends_on_set_bit), ...] MSB-first after the top
+        bit.  Returns 12 tensors = m^|x| (un-conjugated).  Requires m in
+        the cyclotomic subgroup."""
+        nseg = len(segs)
+        nsq = sum(s[0] for s in segs)
+        self._rec(
+            18 * nsq + 54 * nseg, 70 * nsq + 152 * nseg,
+            jnp.broadcast_shapes(*[x.shape for x in coords]),
+        )
+        arr = np.array(
+            [[s[0] for s in segs], [1 if s[1] else 0 for s in segs]],
+            np.int32,
+        )
+        return self._tower_call(
+            _expx_kernel, list(coords), 12, extra={"nseg": nseg},
+            count_scalar=arr,
         )
 
     def fp2_mul(self, a0, a1, b0, b1):

@@ -434,6 +434,24 @@ def fp12_cyclotomic_sqr_k(f, count: int):
     return f
 
 
+def fp12_expx(m, bits_msb):
+    """m^|x| for cyclotomic-subgroup m via ONE fused Pallas launch
+    (kernels.exp_x): the whole final-exp x-chain — Granger-Scott squaring
+    runs + multiplies by m at the set bits — costs one kernel dispatch.
+    bits_msb: the MSB-first bit list of |x|.  The caller conjugates for
+    x < 0.  TPU-only (callers gate on config.fuse_expx + _use_pallas)."""
+    segs = []
+    run = 0
+    for bit in bits_msb[1:]:
+        run += 1
+        if bit:
+            segs.append((run, 1))
+            run = 0
+    if run:
+        segs.append((run, 0))
+    return _unflat12(FP.kernels.exp_x(_flat12(m), segs))
+
+
 def fp12_cyclotomic_sqr(f):
     """Granger-Scott squaring for cyclotomic-subgroup elements: 9 Fp2
     squares (one stacked call) + stacked combinations — half the multiplies

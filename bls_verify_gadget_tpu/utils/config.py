@@ -27,6 +27,10 @@ class Config:
     # fused Granger-Scott cyclotomic-square kernel (18 Montgomery muls +
     # all combination adds in one launch) for the final-exp x-chains
     fuse_cyclo: bool = os.environ.get("BLS_TPU_FUSE_CYCLO", "1") == "1"
+    # fused exp-by-|x| kernel: the ENTIRE final-exp x-chain (squaring runs
+    # + set-bit multiplies, segment lengths in SMEM) is ONE launch — the
+    # six x-chains of the hard part cost six dispatches total
+    fuse_expx: bool = os.environ.get("BLS_TPU_FUSE_EXPX", "1") == "1"
     # fused Fp12 kernels: full product (54 Montgomery muls), generic
     # square (36), and the sparse line multiply fp12_mul_by_014 (45) each
     # as ONE launch — the Miller loop and final exponentiation become a
@@ -35,6 +39,13 @@ class Config:
     # fused Miller dbl/add step kernels (full CLN step + line coefficients
     # in one launch)
     fuse_steps: bool = os.environ.get("BLS_TPU_FUSE_STEPS", "1") == "1"
+    # fused Miller RUN kernels: an entire doubling run (f-squarings +
+    # dbl steps + line multiplies for every pair) is ONE launch with the
+    # run length as an SMEM scalar, and each set-bit addition block is one
+    # more — the whole Miller loop costs ~11 dispatches instead of ~270.
+    # The verify pipeline is launch-latency-bound on v5e, so dispatch count
+    # is the first-order cost.
+    fuse_miller: bool = os.environ.get("BLS_TPU_FUSE_MILLER", "1") == "1"
     # fused Jacobian point double/add kernels (curve.pt_double/pt_add as
     # ONE launch each, G1 and G2) — the scalar-mul ladders, cofactor
     # clearing and subgroup checks become one launch per ladder step

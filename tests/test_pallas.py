@@ -335,54 +335,6 @@ def test_pt_kernels_interpret():
                     np.asarray(g), np.asarray(w), err_msg=name
                 )
 
-
-def test_sqr4_mul_kernels_interpret():
-    """Fused pow-window step kernels (Fp2 and Fp) vs golden f^16 * m."""
-    from bls_verify_gadget_tpu.golden import field as GF
-
-    B = 6
-    f2s = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
-    m2s = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
-    c = [jnp.asarray(FP.encode([v[k] for v in vs]))
-         for vs in (f2s, m2s) for k in range(2)]
-    K = FieldKernels(FP, tile=128)
-    with pltpu.force_tpu_interpret_mode():
-        o = K.sqr4_mul([c[0], c[1], c[2], c[3]])
-    got = list(zip(FP.decode(np.asarray(o[0])), FP.decode(np.asarray(o[1]))))
-    want = [
-        GF.fp2_mul(GF.fp2_pow(f, 16), m) for f, m in zip(f2s, m2s)
-    ]
-    assert got == want
-
-    # k=2 multi-window variant: (f^16 m1)^16 m2
-    m2b = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
-    c2 = c + [jnp.asarray(FP.encode([v[k] for v in m2b])) for k in range(2)]
-    with pltpu.force_tpu_interpret_mode():
-        o = K.sqr4_mul([c2[0], c2[1], c2[2], c2[3], c2[4], c2[5]])
-    got = list(zip(FP.decode(np.asarray(o[0])), FP.decode(np.asarray(o[1]))))
-    want = [
-        GF.fp2_mul(GF.fp2_pow(GF.fp2_mul(GF.fp2_pow(f, 16), m), 16), m2)
-        for f, m, m2 in zip(f2s, m2s, m2b)
-    ]
-    assert got == want
-
-    fs, ms = _vals(B, C.P), _vals(B, C.P)
-    ms2 = _vals(B, C.P)
-    af = jnp.asarray(FP.encode(fs))
-    am = jnp.asarray(FP.encode(ms))
-    am2 = jnp.asarray(FP.encode(ms2))
-    with pltpu.force_tpu_interpret_mode():
-        o = K.sqr4_mul_fp(af, [am])
-        o2 = K.sqr4_mul_fp(af, [am, am2])
-    assert FP.decode(np.asarray(o)) == [
-        pow(f, 16, C.P) * m % C.P for f, m in zip(fs, ms)
-    ]
-    assert FP.decode(np.asarray(o2)) == [
-        pow(pow(f, 16, C.P) * m % C.P, 16, C.P) * m2 % C.P
-        for f, m, m2 in zip(fs, ms, ms2)
-    ]
-
-
 def test_cyclo_sqr_multi_interpret():
     """cyclo_sqr with count > 1 (fori_loop inside the kernel) == count
     successive golden Granger-Scott squares, on genuine cyclotomic
@@ -447,3 +399,212 @@ def test_pt_dbl_multi_interpret():
         CV._fused_pt_coords(CV.FP2_OPS, [want]),
     ):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.heavy
+def test_miller_run_kernels_interpret():
+    """Fused Miller RUN kernels (miller_dbl_run with an SMEM run length +
+    miller_add) vs the jnp path: count iterations of [f = f^2; per-pair
+    dbl_step + neutralised mul_by_014], then one addition block — on
+    genuine points, with a mixed valid mask exercising neutralisation."""
+    from bls_verify_gadget_tpu.golden import bls as gbls
+    from bls_verify_gadget_tpu.ops import pairing as PR, tower as T
+    from bls_verify_gadget_tpu.utils.config import config
+
+    B, k, count = 4, 2, 3
+    sks = [rng.randrange(1, C.R) for _ in range(B)]
+    g2s = [gbls.sign(sk, b"miller run test") for sk in sks]
+    g1s = [gbls.sk_to_pk(sk) for sk in sks]
+
+    def enc_fp2(sel):
+        return (
+            jnp.asarray(FP.encode([sel(q)[0] for q in g2s])),
+            jnp.asarray(FP.encode([sel(q)[1] for q in g2s])),
+        )
+
+    qs, xps, yps, valids = [], [], [], []
+    for i in range(k):
+        qs.append((enc_fp2(lambda q: q[0]), enc_fp2(lambda q: q[1])))
+        xps.append(jnp.asarray(FP.encode([p[0] for p in g1s])))
+        yps.append(jnp.asarray(FP.encode([p[1] for p in g1s])))
+        valids.append(jnp.asarray([(j + i) % 3 != 0 for j in range(B)]))
+
+    f0 = T._unflat12(
+        [jnp.asarray(FP.encode([rng.randrange(C.P) for _ in range(B)]))
+         for _ in range(12)]
+    )
+
+    # jnp reference (fusion off on CPU by default)
+    old = config.fuse_steps
+    config.fuse_steps = False
+    try:
+        f = f0
+        ts = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qs]
+        for _ in range(count):
+            f = T.fp12_sqr(f)
+            for i in range(k):
+                tn, line = PR._dbl_step(ts[i], xps[i], yps[i])
+                l0, l1, l4 = PR._neutral_line(*line, valids[i])
+                f = PR.fp12_mul_by_014(f, l0, l1, l4)
+                ts[i] = tn
+        for i in range(k):
+            tn, line = PR._add_step(ts[i], qs[i], xps[i], yps[i])
+            l0, l1, l4 = PR._neutral_line(*line, valids[i])
+            f = PR.fp12_mul_by_014(f, l0, l1, l4)
+            ts[i] = tn
+    finally:
+        config.fuse_steps = old
+
+    K = FieldKernels(FP, tile=128)
+    v_u32 = [v.astype(jnp.uint32)[..., None] for v in valids]
+    with pltpu.force_tpu_interpret_mode():
+        coords = T._flat12(f0)
+        tk = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qs]
+        for i in range(k):
+            X, Y, Z = tk[i]
+            coords += [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
+                       xps[i], yps[i], v_u32[i]]
+        o = K.miller_dbl_run(coords, k, count)
+        fk, tks = o[:12], o[12:]
+        coords = list(fk)
+        for i in range(k):
+            coords += list(tks[6 * i : 6 * i + 6])
+            coords += [qs[i][0][0], qs[i][0][1], qs[i][1][0], qs[i][1][1],
+                       xps[i], yps[i], v_u32[i]]
+        oa = K.miller_add(coords, k)
+
+    want = T._flat12(f)
+    for i in range(k):
+        X, Y, Z = ts[i]
+        want += [X[0], X[1], Y[0], Y[1], Z[0], Z[1]]
+    for got_a, want_a in zip(oa, want):
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+
+
+@pytest.mark.heavy
+def test_expx_kernel_interpret():
+    """Fused exp-by-|x| kernel vs the jnp squaring/multiply sequence —
+    both compute the identical operation sequence from f = m over the
+    MSB-first bits, so the comparison is bit-exact."""
+    from bls_verify_gadget_tpu.ops import pairing as PR, tower as T
+
+    B = 4
+    m = T._unflat12(
+        [jnp.asarray(FP.encode([rng.randrange(C.P) for _ in range(B)]))
+         for _ in range(12)]
+    )
+    bits = PR._ABS_X_BITS_MSB
+
+    # jnp reference (CPU fallback paths)
+    f = m
+    for bit in bits[1:]:
+        f = T.fp12_cyclotomic_sqr(f)
+        if bit:
+            f = T.fp12_mul(f, m)
+
+    segs, run = [], 0
+    for bit in bits[1:]:
+        run += 1
+        if bit:
+            segs.append((run, 1))
+            run = 0
+    if run:
+        segs.append((run, 0))
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.exp_x(T._flat12(m), segs)
+    for got, want in zip(o, T._flat12(f)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.heavy
+def test_pt_mul_const_kernel_interpret():
+    """Fused whole-ladder constant-scalar multiply vs golden, including an
+    infinity input riding through the complete add/dbl bodies."""
+    from bls_verify_gadget_tpu.golden import bls as gbls, curve as gc
+    from bls_verify_gadget_tpu.ops import curve as CV
+
+    g2s = [gbls.sign(rng.randrange(1, C.R), b"ladder kernel test")
+           for _ in range(3)]
+    P = CV.g2_encode_batch(g2s + [None])
+    scalar = C.ABS_X
+    bits = bin(scalar)[2:]
+    segs, run = [], 0
+    for bit in bits[1:]:
+        run += 1
+        if bit == "1":
+            segs.append((run, 1))
+            run = 0
+    if run:
+        segs.append((run, 0))
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pt_mul_const(CV._fused_pt_coords(CV.FP2_OPS, [P]), "fp2", segs)
+    got = CV.g2_decode(CV._fused_pt_unflat(CV.FP2_OPS, o))
+    want = [gc.g2_mul(q, scalar) for q in g2s] + [None]
+    assert got == want
+
+
+@pytest.mark.heavy
+def test_pt_mul_var_kernel_interpret():
+    """Fused whole-ladder variable-scalar multiply vs golden: per-element
+    scalars including 0 (infinity result) and 1."""
+    from bls_verify_gadget_tpu.golden import bls as gbls, curve as gc
+    from bls_verify_gadget_tpu.ops import curve as CV
+    from bls_verify_gadget_tpu.ops.limbs import ints_to_limbs
+
+    g1s = [gbls.sk_to_pk(rng.randrange(1, C.R)) for _ in range(4)]
+    P = CV.g1_encode_batch(g1s)
+    ks = [0, 1, rng.randrange(C.R), C.R - 1]
+    s = jnp.asarray(ints_to_limbs(ks, C.NLIMB_FR))
+    K = FieldKernels(FP, tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pt_mul_var(
+            CV._fused_pt_coords(CV.FP_OPS, [P]), "fp", s, 255
+        )
+    got = CV.g1_decode(CV._fused_pt_unflat(CV.FP_OPS, o))
+    want = [gc.g1_mul(p, k) if k else None for p, k in zip(g1s, ks)]
+    assert got == want
+
+
+@pytest.mark.heavy
+def test_pow_win_kernel_interpret():
+    """Fused whole-chain windowed pow vs python pow, Fp and Fp2."""
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 4
+    xs = [0, 1, rng.randrange(C.P), C.P - 1]
+    exp = (C.P + 1) // 4
+    digits = []
+    e = exp
+    while e:
+        digits.append(e & 15)
+        e >>= 4
+    digits = digits[::-1]
+    K = FieldKernels(FP, tile=128)
+    ax = jnp.asarray(FP.encode(xs))
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pow_win([ax], 1, digits)
+    assert FP.decode(np.asarray(o[0])) == [pow(x, exp, C.P) for x in xs]
+
+    a2 = [(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)]
+    exp2 = (C.P * C.P + 7) // 16
+    dig2, e = [], exp2
+    while e:
+        dig2.append(e & 15)
+        e >>= 4
+    dig2 = dig2[::-1]
+    a0 = jnp.asarray(FP.encode([x[0] for x in a2]))
+    a1 = jnp.asarray(FP.encode([x[1] for x in a2]))
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pow_win([a0, a1], 2, dig2)
+    got = list(zip(FP.decode(np.asarray(o[0])), FP.decode(np.asarray(o[1]))))
+    want = []
+    for x in a2:
+        r = (1, 0)
+        for bit in bin(exp2)[2:]:
+            r = GF.fp2_sqr(r)
+            if bit == "1":
+                r = GF.fp2_mul(r, x)
+        want.append(r)
+    assert got == want

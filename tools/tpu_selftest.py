@@ -490,53 +490,192 @@ def t_pt_run31(cx):
 
 
 # ---------------------------------------------------------------------------
-# pow-window kernels (k = windows per launch; bench batches k=4)
+# whole-chain fused kernels: pow, ladders, Miller runs, exp-by-x
 # ---------------------------------------------------------------------------
 
-def _sqr4_case(cx, k):
+def _digits4(exp):
+    ds = []
+    while exp:
+        ds.append(exp & 15)
+        exp >>= 4
+    return ds[::-1]
+
+
+@case("pow_win")
+def t_pow_win(cx):
+    """Whole windowed-pow chains vs python pow: Fp sqrt exponent and the
+    Fp2 SSWU sqrt exponent (the two verify-path pow shapes)."""
     import numpy as np
 
     from bls_verify_gadget_tpu.golden import field as GF
+    from bls_verify_gadget_tpu.ops.hash_to_g2 import EXP_SQRT
 
     C = cx.C
-    f2s = cx.fp2s(8)
-    tables = [cx.fp2s(8) for _ in range(k)]
-    coords = [cx.enc([v[0] for v in f2s]), cx.enc([v[1] for v in f2s])]
-    for ms in tables:
-        coords.append(cx.enc([v[0] for v in ms]))
-        coords.append(cx.enc([v[1] for v in ms]))
-    o = cx.K.sqr4_mul(coords)
+    xs = cx.vals(C.P, 16, edges=[0, 1, C.P - 1])
+    exp = (C.P + 1) // 4
+    o = cx.K.pow_win([cx.enc(xs)], 1, _digits4(exp))
+    assert cx.FP.decode(np.asarray(o[0])) == [pow(x, exp, C.P) for x in xs]
+
+    f2s = cx.fp2s(4)
+    o = cx.K.pow_win(
+        [cx.enc([v[0] for v in f2s]), cx.enc([v[1] for v in f2s])],
+        2, _digits4(EXP_SQRT),
+    )
     got = list(
         zip(cx.FP.decode(np.asarray(o[0])), cx.FP.decode(np.asarray(o[1])))
     )
-    want = []
-    for t in range(cx.B):
-        f = f2s[t]
-        for ms in tables:
-            f = GF.fp2_mul(GF.fp2_pow(f, 16), ms[t])
-        want.append(f)
+    assert got == [GF.fp2_pow(v, EXP_SQRT) for v in f2s]
+
+
+@case("pt_mul_const")
+def t_pt_mul_const(cx):
+    """Whole |x|-ladder (SMEM run structure) vs golden scalar mul, G2 with
+    an infinity rider."""
+    import numpy as np
+
+    from bls_verify_gadget_tpu.golden import curve as gc
+    from bls_verify_gadget_tpu.ops import curve as CV
+
+    _, g2s = _pt_batches(cx)
+    pts = _tile_list(g2s[:3] + [None], cx.B)
+    P = CV.g2_encode_batch(pts)
+    bits = bin(cx.C.ABS_X)[2:]
+    segs, run = [], 0
+    for bit in bits[1:]:
+        run += 1
+        if bit == "1":
+            segs.append((run, 1))
+            run = 0
+    if run:
+        segs.append((run, 0))
+    o = cx.K.pt_mul_const(CV._fused_pt_coords(CV.FP2_OPS, [P]), "fp2", segs)
+    got = CV.g2_decode(CV._fused_pt_unflat(CV.FP2_OPS, o))
+    want = [None if p is None else gc.g2_mul(p, cx.C.ABS_X) for p in pts]
     assert got == want
-    # Fp sibling
-    fs = cx.vals(C.P, 8)
-    mss = [cx.vals(C.P, 8) for _ in range(k)]
-    o = cx.K.sqr4_mul_fp(cx.enc(fs), [cx.enc(ms) for ms in mss])
-    wantf = []
-    for t in range(cx.B):
-        f = fs[t]
-        for ms in mss:
-            f = pow(f, 16, C.P) * ms[t] % C.P
-        wantf.append(f)
-    assert cx.FP.decode(np.asarray(o)) == wantf
 
 
-@case("sqr4_mul")
-def t_sqr4(cx):
-    _sqr4_case(cx, 1)
+@case("pt_mul_var")
+def t_pt_mul_var(cx):
+    """Whole variable-scalar ladder vs golden, G1, scalars incl. 0 and 1."""
+    import jax.numpy as jnp
+
+    from bls_verify_gadget_tpu.golden import curve as gc
+    from bls_verify_gadget_tpu.ops import curve as CV
+    from bls_verify_gadget_tpu.ops.limbs import ints_to_limbs
+
+    g1s, _ = _pt_batches(cx)
+    pts = _tile_list(g1s[:4], cx.B)
+    ks = _tile_list([0, 1, cx.rng.randrange(cx.C.R), cx.C.R - 1], cx.B)
+    P = CV.g1_encode_batch(pts)
+    s = jnp.asarray(ints_to_limbs(ks, cx.C.NLIMB_FR))
+    o = cx.K.pt_mul_var(CV._fused_pt_coords(CV.FP_OPS, [P]), "fp", s, 255)
+    got = CV.g1_decode(CV._fused_pt_unflat(CV.FP_OPS, o))
+    want = [gc.g1_mul(p, k) if k else None for p, k in zip(pts, ks)]
+    assert got == want
 
 
-@case("sqr4_mul_k4")
-def t_sqr4_k4(cx):
-    _sqr4_case(cx, 4)
+@case("exp_x")
+def t_exp_x(cx):
+    """Whole final-exp x-chain kernel vs golden (bit-exact: identical
+    operation sequence on arbitrary fp12 inputs)."""
+    from bls_verify_gadget_tpu.golden import field as GF
+    from bls_verify_gadget_tpu.ops import tower as T
+
+    C = cx.C
+    elems = cx.fp12s(4)
+    bits = bin(C.ABS_X)[2:]
+    want = []
+    for m in elems:
+        f = m
+        for bit in bits[1:]:
+            f = GF.fp12_cyclotomic_sqr(f)
+            if bit == "1":
+                f = GF.fp12_mul(f, m)
+        want.append(f)
+    segs, run = [], 0
+    for bit in bits[1:]:
+        run += 1
+        if bit == "1":
+            segs.append((run, 1))
+            run = 0
+    if run:
+        segs.append((run, 0))
+    o = cx.K.exp_x(cx.enc12(elems), segs)
+    assert cx.dec12(o, cx.B) == _tile_list(want, cx.B)
+
+
+@case("miller_run")
+def t_miller_run(cx):
+    """Fused Miller dbl-run + add-block kernels vs the unfused jnp step
+    path (bit-exact), with a mixed valid mask."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bls_verify_gadget_tpu.ops import pairing as PR, tower as T
+    from bls_verify_gadget_tpu.utils.config import config
+
+    k, count = 2, 3
+    g1s, g2s = _pt_batches(cx)
+    qs, xps, yps, valids = [], [], [], []
+    for i in range(k):
+        q2 = _tile_list(g2s[i : i + 3], cx.B)
+        p1 = _tile_list(g1s[i : i + 3], cx.B)
+        qs.append((
+            (cx.enc([q[0][0] for q in q2]), cx.enc([q[0][1] for q in q2])),
+            (cx.enc([q[1][0] for q in q2]), cx.enc([q[1][1] for q in q2])),
+        ))
+        xps.append(cx.enc([p[0] for p in p1]))
+        yps.append(cx.enc([p[1] for p in p1]))
+        valids.append(
+            jnp.asarray([(j + i) % 3 != 0 for j in range(cx.B)])
+        )
+    f0 = T._unflat12(
+        [cx.enc(cx.vals(cx.C.P, 8)) for _ in range(12)]
+    )
+
+    old_steps, old_miller = config.fuse_steps, config.fuse_miller
+    config.fuse_steps = False
+    config.fuse_miller = False
+    try:
+        f = f0
+        ts = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qs]
+        for _ in range(count):
+            f = T.fp12_sqr(f)
+            for i in range(k):
+                tn, line = PR._dbl_step(ts[i], xps[i], yps[i])
+                l0, l1, l4 = PR._neutral_line(*line, valids[i])
+                f = PR.fp12_mul_by_014(f, l0, l1, l4)
+                ts[i] = tn
+        for i in range(k):
+            tn, line = PR._add_step(ts[i], qs[i], xps[i], yps[i])
+            l0, l1, l4 = PR._neutral_line(*line, valids[i])
+            f = PR.fp12_mul_by_014(f, l0, l1, l4)
+            ts[i] = tn
+    finally:
+        config.fuse_steps, config.fuse_miller = old_steps, old_miller
+
+    v_u32 = [v.astype(jnp.uint32)[..., None] for v in valids]
+    coords = T._flat12(f0)
+    tk = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qs]
+    for i in range(k):
+        X, Y, Z = tk[i]
+        coords += [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
+                   xps[i], yps[i], v_u32[i]]
+    o = cx.K.miller_dbl_run(coords, k, count)
+    fk, tks = o[:12], o[12:]
+    coords = list(fk)
+    for i in range(k):
+        coords += list(tks[6 * i : 6 * i + 6])
+        coords += [qs[i][0][0], qs[i][0][1], qs[i][1][0], qs[i][1][1],
+                   xps[i], yps[i], v_u32[i]]
+    oa = cx.K.miller_add(coords, k)
+
+    want = T._flat12(f)
+    for i in range(k):
+        X, Y, Z = ts[i]
+        want += [X[0], X[1], Y[0], Y[1], Z[0], Z[1]]
+    for got_a, want_a in zip(oa, want):
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
 
 
 # ---------------------------------------------------------------------------
