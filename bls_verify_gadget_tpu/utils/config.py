@@ -57,17 +57,19 @@ class Config:
     # lo/hi accumulation) and the reduction m = T*N' mod R, U = m*p runs as
     # two exact bf16 matmuls on the systolic array (8-bit limb planes keep
     # every f32 accumulator < 2^24).  ops/pallas/kernels.py _conv_reduce_mxu.
-    # Default OFF: on v5e the kernel chain is launch-latency-bound (~500us
-    # per dependent launch regardless of arithmetic), so the MXU's compute
-    # win is invisible and the extra planes/transposes measured ~5% SLOWER
-    # than merged CIOS (605 vs 652 us/launch at B=16384) and exceed the
-    # 16 MB scoped-VMEM limit at tile 16384.  Kept flag-gated for chips
-    # where arithmetic, not latency, bounds the chain.
+    # Default OFF — measured LOSER on v5e in the round-4 compute-bound
+    # fused pipeline: 4,357 verifies/s vs 7,865 (cios_v3) at batch 4096
+    # (the 8-bit plane splits + transposes around each reduction cost more
+    # VPU work than the matmuls save).  Kept flag-gated only as the
+    # reference design for MXU-heavy chips.
     mxu_reduce: bool = os.environ.get("BLS_TPU_MXU", "0") == "1"
     # two-accumulator merged CIOS (kernels._conv_reduce_v3): aligned lo/hi
     # accumulation removes the per-step zero-pad concats and the padded
-    # 32-row window of the original loop-form CIOS
-    cios_v3: bool = os.environ.get("BLS_TPU_CIOS_V3", "0") == "1"
+    # 32-row window of the original loop-form CIOS.  Default ON since
+    # round 4: measured 7,865 verifies/s vs 6,460 (original window CIOS)
+    # at batch 4096 — the fused whole-chain kernels made the pipeline
+    # compute-bound, so the ~30% leaner inner loop shows end to end.
+    cios_v3: bool = os.environ.get("BLS_TPU_CIOS_V3", "1") == "1"
     # static run-structured ladders (scalar mul / Miller / exp chains):
     # "auto" enables them on TPU backends only — they cut kernel launches
     # ~2.5x at runtime but inflate XLA CPU compile times badly

@@ -5,6 +5,7 @@ reference."""
 import random
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def _device_fn(n_pairs):
     )
 
 
+@pytest.mark.heavy
 def test_duplicate_messages():
     """Two signers over the SAME message: AggregateVerify must accept (it
     degenerates to FastAggregateVerify) and agree with it."""
@@ -75,6 +77,7 @@ def test_duplicate_messages():
     assert bool(np.asarray(fn(pks, sig, msgs)))
 
 
+@pytest.mark.heavy
 def test_single_pair_reduces_to_verify():
     sk, pk = PAIRS[0]
     assert gbls.aggregate_verify([pk], [MSGS[0]], SIGS[0])
@@ -87,6 +90,7 @@ def test_single_pair_reduces_to_verify():
     assert not bool(np.asarray(fn(pks, sig, encode_messages([MSGS[1]]))))
 
 
+@pytest.mark.heavy
 def test_infinity_aggregate_rejected():
     """sig = point at infinity: every pairing with it is 1, so verification
     must reduce to prod e(pk_i, H(m_i)) == 1, which fails for honest pks."""

@@ -1,6 +1,13 @@
 """Pallas fused-kernel correctness in interpreter mode (CPU CI); the real
 TPU integration is exercised by bench.py and the kernels are drop-in
-replacements for ModField mul/add/sub on TPU backends."""
+replacements for ModField mul/add/sub on TPU backends.
+
+Tiering: interpret-mode kernels compile as full CPU XLA programs, and the
+big fused bodies (fp12 products, Miller runs, whole ladders/pow chains)
+are multi-minute compiles on a 4-vCPU host — those carry
+@pytest.mark.heavy.  The default tier keeps the cheap scalar/fp2 kernel
+differentials; full fused-kernel coverage runs in the heavy tier and in
+the on-hardware battery (tools/tpu_selftest.py)."""
 
 import random
 
@@ -72,6 +79,7 @@ def test_stacked_shapes():
     assert got == [(x * y) % C.P for x, y in zip(xs, ys)]
 
 
+@pytest.mark.heavy
 def test_cyclo_sqr_kernel_interpret():
     """Fused Granger-Scott cyclotomic-square kernel vs golden, on genuine
     cyclotomic-subgroup elements (GS squaring is only valid there).  Uses
@@ -118,6 +126,7 @@ def test_cyclo_sqr_kernel_interpret():
     assert got == want
 
 
+@pytest.mark.heavy
 def test_mxu_reduction_interpret():
     """The flag-gated MXU Montgomery reduction (config.mxu_reduce, default
     off — see utils/config.py for the v5e latency-wall measurements) stays
@@ -192,6 +201,7 @@ def _dec12(o, b):
     ]
 
 
+@pytest.mark.heavy
 def test_fp12_mul_sqr_kernels_interpret():
     """Fused full Fp12 product / generic square kernels vs golden."""
     from bls_verify_gadget_tpu.golden import field as GF
@@ -206,6 +216,7 @@ def test_fp12_mul_sqr_kernels_interpret():
     assert _dec12(os_, B) == [GF.fp12_sqr(x) for x in xs]
 
 
+@pytest.mark.heavy
 def test_mul014_kernel_interpret():
     """Fused sparse 014 multiply vs golden full fp12 product against the
     materialised sparse element (c0 + c1 v + c4 v w)."""
@@ -234,6 +245,7 @@ def test_mul014_kernel_interpret():
     assert _dec12(o, B) == want
 
 
+@pytest.mark.heavy
 def test_miller_step_kernels_interpret():
     """Fused Miller dbl/add step kernels vs the stacked jnp steps
     (pairing._dbl_step/_add_step with fusion off), on genuine G2 points."""
@@ -292,6 +304,7 @@ def test_miller_step_kernels_interpret():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.heavy
 def test_pt_kernels_interpret():
     """Fused Jacobian double/add kernels (G1 fp and G2 fp2 coords) vs the
     jnp curve ops, covering the generic case plus every cmov edge case
@@ -335,6 +348,7 @@ def test_pt_kernels_interpret():
                     np.asarray(g), np.asarray(w), err_msg=name
                 )
 
+@pytest.mark.heavy
 def test_cyclo_sqr_multi_interpret():
     """cyclo_sqr with count > 1 (fori_loop inside the kernel) == count
     successive golden Granger-Scott squares, on genuine cyclotomic
@@ -379,6 +393,7 @@ def test_cyclo_sqr_multi_interpret():
     assert got == want
 
 
+@pytest.mark.heavy
 def test_pt_dbl_multi_interpret():
     """pt_dbl with count > 1 (fori_loop in-kernel) == count successive jnp
     pt_double calls."""

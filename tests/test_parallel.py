@@ -29,6 +29,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.heavy
 def test_sharded_pubkey_aggregation():
     mesh = make_mesh()
     n = 16
@@ -41,6 +42,7 @@ def test_sharded_pubkey_aggregation():
     assert CV.g1_decode(total) == want
 
 
+@pytest.mark.heavy
 def test_sharded_signature_aggregation():
     mesh = make_mesh()
     n = 8
@@ -53,6 +55,7 @@ def test_sharded_signature_aggregation():
     assert CV.g2_decode(total) == want
 
 
+@pytest.mark.heavy
 def test_sharded_masked_aggregate():
     mesh = make_mesh()
     n = 16

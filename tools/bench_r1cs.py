@@ -84,9 +84,10 @@ def main():
     # sink under jit; op-by-op dispatch is fine for a one-shot per batch);
     # the chunk-scanned evaluator is the jitted, timed hot loop
     wit_fn = witness_batch
-    # the evaluator's gather intermediate is (B, chunk, row_width, NLIMB);
-    # scale the row chunk down with batch so it stays ~1 GB
-    chunk = max(64, (1 << 23) // max(B, 1))
+    # the evaluator's gather intermediate is (chunk, row_width~8, B, NLIMB)
+    # u32 — size chunk*8*B*24*4 bytes; target ~400 MB so the TPU run fits
+    # HBM alongside the witness batch
+    chunk = max(64, (1 << 19) // max(B, 1))
     ev_fn = jax.jit(lambda w: EV.check_satisfied(prepared, w, chunk=chunk))
 
     msgs_d = jnp.asarray(msgs)

@@ -43,7 +43,15 @@ def main():
 
     from __graft_entry__ import _example_batch
     from bls_verify_gadget_tpu.models.bls import BatchedBLS
+    from bls_verify_gadget_tpu.ops.fp import ModField
     from bls_verify_gadget_tpu.utils.profiling import count_ops
+
+    # Trace the TPU pipeline structure: the fused whole-chain kernels only
+    # engage under _use_pallas(), and their op accounting (FieldKernels._rec)
+    # records the arithmetic the kernels actually execute (including the
+    # fixed 96/192-window pow padding and cmov'd segment multiplies).
+    # eval_shape never lowers, so forcing the pallas path is safe on CPU.
+    ModField._use_pallas = lambda self: True
 
     bls = BatchedBLS()
     pk, sig, msg = _example_batch(args.batch)

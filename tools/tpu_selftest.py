@@ -428,18 +428,30 @@ def t_pt(cx):
         P, Q = enc(Pv), enc(Qv)
         # reference path: stacked jnp ops with the fused pt kernels OFF
         # (with fuse_pt on, CV.pt_double/pt_add route through the very
-        # kernels under test and the differential is tautological)
+        # kernels under test and the differential is tautological) — run it
+        # jitted on the 5-row distinct prefix (one small compile instead of
+        # an eager full-batch compile storm) and compare cyclically
+        import jax
+
         old = config.fuse_pt
         config.fuse_pt = False
         try:
-            P = CV.pt_double(ops, P)
-            Qd = CV.pt_double(ops, Q)
-            want_d = CV.pt_double(ops, P)
-            want_a = CV.pt_add(ops, P, Qd)
+            def ref(Ps, Qs):
+                Pd = CV.pt_double(ops, Ps)
+                Qd = CV.pt_double(ops, Qs)
+                return Pd, Qd, CV.pt_double(ops, Pd), CV.pt_add(ops, Pd, Qd)
+            take = lambda pt, k: jax.tree.map(lambda x: x[:k], pt)
+            _, Qd5, want_d, want_a = jax.jit(ref)(take(P, 5), take(Q, 5))
         finally:
             config.fuse_pt = old
-        od = cx.K.pt_dbl(CV._fused_pt_coords(ops, [P]), name)
-        oa = cx.K.pt_add(CV._fused_pt_coords(ops, [P, Qd]), name)
+        P1 = CV.pt_double(ops, P)     # fused kernel (under test) at full B
+        Qd = CV.pt_double(ops, Q)
+        np.testing.assert_array_equal(
+            np.asarray(CV._fused_pt_coords(ops, [Qd])[0])[:5],
+            np.asarray(CV._fused_pt_coords(ops, [Qd5])[0]), err_msg=name,
+        )
+        od = cx.K.pt_dbl(CV._fused_pt_coords(ops, [P1]), name)
+        oa = cx.K.pt_add(CV._fused_pt_coords(ops, [P1, Qd]), name)
         for got, want in (
             (CV._fused_pt_unflat(ops, od), want_d),
             (CV._fused_pt_unflat(ops, oa), want_a),
@@ -448,9 +460,10 @@ def t_pt(cx):
                 CV._fused_pt_coords(ops, [got]),
                 CV._fused_pt_coords(ops, [want]),
             ):
-                np.testing.assert_array_equal(
-                    np.asarray(g), np.asarray(w), err_msg=name
-                )
+                g = np.asarray(g)
+                w = np.asarray(w)
+                idx = np.arange(g.shape[0]) % w.shape[0]
+                np.testing.assert_array_equal(g, w[idx], err_msg=name)
 
 
 def _pt_run_case(cx, count):
@@ -459,14 +472,19 @@ def _pt_run_case(cx, count):
     from bls_verify_gadget_tpu.ops import curve as CV
     from bls_verify_gadget_tpu.utils.config import config
 
+    import jax
+
     _, g2s = _pt_batches(cx)
     P = CV.g2_encode_batch(_tile_list(g2s[:3] + [None], cx.B))
     old = config.fuse_pt
     config.fuse_pt = False
     try:
-        want = P
-        for _ in range(count):
-            want = CV.pt_double(CV.FP2_OPS, want)
+        # jitted reference on the 4-row distinct prefix (compare cyclically)
+        def ref(Ps):
+            for _ in range(count):
+                Ps = CV.pt_double(CV.FP2_OPS, Ps)
+            return Ps
+        want = jax.jit(ref)(jax.tree.map(lambda x: x[:4], P))
     finally:
         config.fuse_pt = old
     o = cx.K.pt_dbl(CV._fused_pt_coords(CV.FP2_OPS, [P]), "fp2", count=count)
@@ -475,7 +493,10 @@ def _pt_run_case(cx, count):
         CV._fused_pt_coords(CV.FP2_OPS, [got]),
         CV._fused_pt_coords(CV.FP2_OPS, [want]),
     ):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        g = np.asarray(g)
+        w = np.asarray(w)
+        idx = np.arange(g.shape[0]) % w.shape[0]
+        np.testing.assert_array_equal(g, w[idx])
 
 
 @case("pt_dbl_run4")
@@ -633,24 +654,37 @@ def t_miller_run(cx):
         [cx.enc(cx.vals(cx.C.P, 8)) for _ in range(12)]
     )
 
+    # jitted reference on the 24-row distinct prefix (inputs tile with
+    # periods 3 and 8; compare cyclically) — one small compile instead of
+    # an eager full-batch compile storm
+    import jax
+
+    d = 24
     old_steps, old_miller = config.fuse_steps, config.fuse_miller
     config.fuse_steps = False
     config.fuse_miller = False
     try:
-        f = f0
-        ts = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qs]
-        for _ in range(count):
-            f = T.fp12_sqr(f)
+        def ref(f0d, qsd, xpsd, ypsd, validsd):
+            f = f0d
+            ts = [(q[0], q[1], T.fp2_one_like(q[0])) for q in qsd]
+            for _ in range(count):
+                f = T.fp12_sqr(f)
+                for i in range(k):
+                    tn, line = PR._dbl_step(ts[i], xpsd[i], ypsd[i])
+                    l0, l1, l4 = PR._neutral_line(*line, validsd[i])
+                    f = PR.fp12_mul_by_014(f, l0, l1, l4)
+                    ts[i] = tn
             for i in range(k):
-                tn, line = PR._dbl_step(ts[i], xps[i], yps[i])
-                l0, l1, l4 = PR._neutral_line(*line, valids[i])
+                tn, line = PR._add_step(ts[i], qsd[i], xpsd[i], ypsd[i])
+                l0, l1, l4 = PR._neutral_line(*line, validsd[i])
                 f = PR.fp12_mul_by_014(f, l0, l1, l4)
                 ts[i] = tn
-        for i in range(k):
-            tn, line = PR._add_step(ts[i], qs[i], xps[i], yps[i])
-            l0, l1, l4 = PR._neutral_line(*line, valids[i])
-            f = PR.fp12_mul_by_014(f, l0, l1, l4)
-            ts[i] = tn
+            return f, ts
+
+        cut = lambda t: jax.tree.map(lambda x: x[:d], t)
+        f, ts = jax.jit(ref)(
+            cut(f0), cut(qs), cut(xps), cut(yps), cut(valids)
+        )
     finally:
         config.fuse_steps, config.fuse_miller = old_steps, old_miller
 
@@ -675,7 +709,10 @@ def t_miller_run(cx):
         X, Y, Z = ts[i]
         want += [X[0], X[1], Y[0], Y[1], Z[0], Z[1]]
     for got_a, want_a in zip(oa, want):
-        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+        g = np.asarray(got_a)
+        w = np.asarray(want_a)
+        idx = np.arange(g.shape[0]) % w.shape[0]
+        np.testing.assert_array_equal(g, w[idx])
 
 
 # ---------------------------------------------------------------------------
