@@ -1018,6 +1018,57 @@ def _powwin_kernel(dig_ref, *refs, n, tb, n0, mxu, nc, nwin):
     out = jax.lax.fori_loop(0, nwin, body, tuple(flat(one)))
     _store_rows(outs, list(out))
 
+
+def _ptmulvar_kernel(nb_ref, *refs, n, tb, n0, mxu, coord):
+    """Fused variable-scalar point multiplication — the whole MSB-first
+    double-and-cmov-add ladder in ONE launch.  The per-element scalars
+    ride in as limb rows PRE-ALIGNED so the scan's first bit sits at
+    row n-1 bit 15 (the caller shifts left by 16n - nbits); each iteration
+    reads the top bit and shifts the scalar rows up one bit.
+
+    nb_ref: (1,) SMEM int32 = number of bits to scan.
+    coord 'fp': refs = P (3), s, p, w1, w2, one_col, 3 outputs.
+    coord 'fp2': refs = P (6), s, p, w1, w2, one_col, 6 outputs."""
+    nc = 2 if coord == "fp2" else 1
+    nin = 3 * nc + 1
+    ins, outs = refs[:nin], refs[nin + 4:]
+    p_limbs, mont = _make_mont(
+        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
+    )
+    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    zero_rows = jnp.zeros((n, tb), jnp.uint32)
+    F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    base = _rows_to_elems(F, rows[: 3 * nc], coord)
+    if coord == "fp2":
+        inf_elems = ((one_rows, zero_rows), (one_rows, zero_rows),
+                     (zero_rows, zero_rows))
+    else:
+        inf_elems = (one_rows, one_rows, zero_rows)
+    inf_rows = _elems_to_rows(inf_elems, coord)
+
+    def body(_, carry):
+        s = carry[0]
+        flat = carry[1:]
+        bit = (s[n - 1 : n, :] >> 15) & 1          # (1, tb)
+        s = ((s << 1) & MASK) | (_shift_down_rows(s, 1, 0) >> 15)
+        acc = _rows_to_elems(F, list(flat), coord)
+        dbl = _pt_dbl_body(F, *acc)
+        added = _pt_add_body(F, tuple(dbl), tuple(base), inf_elems)
+        sel = tuple(
+            _sel_rows(bit, a, d)
+            for a, d in zip(
+                _elems_to_rows(added, coord), _elems_to_rows(dbl, coord)
+            )
+        )
+        return (s,) + sel
+
+    carry = jax.lax.fori_loop(
+        0, nb_ref[0], body, (rows[3 * nc],) + tuple(inf_rows)
+    )
+    _store_rows(outs, list(carry[1:]))
+
+
 def _gs_body(f2, Z):
     """One Granger-Scott cyclotomic square on GS z-ordered _F2Rows
     elements (mirrors tower.fp12_cyclotomic_sqr's jnp fallback)."""
