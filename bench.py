@@ -39,7 +39,10 @@ import jax
 if "--cpu" in sys.argv:  # before any backend touch (sitecustomize pins TPU)
     sys.argv.remove("--cpu")
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/bls_tpu_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("BLS_TPU_CACHE_DIR", "/tmp/bls_tpu_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_VERIFIES_PER_SEC = 5000.0

@@ -30,6 +30,22 @@ from .sha256 import sha256_bytes
 
 EXP_SQRT = (C.Q2 + 7) // 16  # z = a^((q+7)/16); true sqrt is z * one of CANDS
 
+# Frobenius split of the sqrt exponent.  With p == 11 (mod 16) and
+# k = (p - 11)/16:
+#
+#   k*p + (11k + 8) = k(p + 11) + 8 = (p^2 - 121)/16 + 8 = (p^2 + 7)/16
+#
+# and a^p is the Fp2 Frobenius — conjugation, free — so
+#
+#   a^((p^2+7)/16) = (a^p)^k * a^(11k+8) = (conj(a) * a^11)^k * a^8.
+#
+# The 764-bit pow chain becomes one 377-bit chain plus ~7 cheap muls
+# (~48% fewer multiplies in the dominant SSWU step).  No reference
+# counterpart: hasher.rs:243-258 delegates sqrt to arkworks' generic
+# Tonelli-Shanks; this split exploits q == p^2 specifically.
+_SQRT_K = (C.P - 11) // 16
+assert C.P % 16 == 11 and _SQRT_K * C.P + 11 * _SQRT_K + 8 == EXP_SQRT
+
 
 def _compute_sqrt_candidates():
     """1, sqrt(-1) = u, sqrt(u), sqrt(-u) — computed via the golden sqrt and
@@ -61,10 +77,25 @@ def _sqrt_from_candidate(z, target):
 
 
 def fp2_sqrt_candidates(a):
-    """Returns (sqrt, is_square) branch-free: one big pow then 4 candidate
-    square checks."""
-    z = _fp2_pow_const(a, EXP_SQRT)
+    """Returns (sqrt, is_square) branch-free: one (Frobenius-split) pow
+    then 4 candidate square checks."""
+    z = _fp2_pow_sqrt(a)
     return _sqrt_from_candidate(z, a)
+
+
+def _fp2_pow_sqrt(a):
+    """a^EXP_SQRT via the Frobenius split (see _SQRT_K above):
+    (conj(a) * a^11)^k * a^8 — one 377-bit windowed chain (95 windows
+    instead of 191) plus 7 multiplies."""
+    a2 = T.fp2_sqr(a)
+    a4 = T.fp2_sqr(a2)
+    a8 = T.fp2_sqr(a4)
+    (a3,) = T.fp2_mul_pairs([(a2, a)])
+    (a11,) = T.fp2_mul_pairs([(a8, a3)])
+    (b,) = T.fp2_mul_pairs([(T.fp2_conj(a), a11)])
+    bk = _fp2_pow_const(b, _SQRT_K)
+    (z,) = T.fp2_mul_pairs([(bk, a8)])
+    return z
 
 
 def _fp2_pow_const(a, exponent: int):
@@ -79,8 +110,12 @@ def _fp2_pow_const(a, exponent: int):
     from ..utils.config import config
 
     if T.FP._use_pallas() and config.fuse_pow:
-        # ENTIRE chain (in-kernel table build + all windows) in ONE launch
-        o = T.FP.kernels.pow_win([a[0], a[1]], 2, digits)
+        # ENTIRE chain (in-kernel table build + all windows) in ONE
+        # launch; window count rounded up to a multiple of 8 so exponents
+        # of similar width share a Mosaic payload
+        o = T.FP.kernels.pow_win(
+            [a[0], a[1]], 2, digits, nwin=-(-len(digits) // 8) * 8
+        )
         return (o[0], o[1])
 
     tab = [T.fp2_one_like(a), a]
@@ -264,8 +299,9 @@ def sswu_map(u):
 
     # ONE shared exponentiation: z1 = gx1^((q+7)/16) gives the sqrt(gx1)
     # candidates; z1 * Cz3 * u^3 gives the sqrt(gx2) candidates
-    # (gx2 = gx1 Z^3 u^6 away from the measure-zero u == 0 case).
-    z1 = _fp2_pow_const(gx1, EXP_SQRT)
+    # (gx2 = gx1 Z^3 u^6 away from the measure-zero u == 0 case).  The
+    # pow itself runs Frobenius-split (_fp2_pow_sqrt): half the chain.
+    z1 = _fp2_pow_sqrt(gx1)
     y1, ok1 = _sqrt_from_candidate(z1, gx1)
     (u3,) = T.fp2_mul_pairs([(u2, u)])
     cz3 = T._bcast(SSWU_CZ3, u)

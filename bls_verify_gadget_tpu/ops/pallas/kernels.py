@@ -210,146 +210,24 @@ def _conv_reduce_v3(a, b, p_limbs, n, tb, n0):
 
 
 # ----------------------------------------------------------------------------
-# MXU-reduction Montgomery multiply (v2)
-#
-# The schoolbook convolution a*b stays on the VPU, but WITHOUT the CIOS
-# per-step reduction: partial products accumulate as lazy lo/hi planes
-# (24 terms of <= 2^16-1 each stay < 2^21, uint32-safe), so the loop body
-# is ~2x leaner than merged CIOS.  The Montgomery reduction then becomes
-# two EXACT bf16 matmuls on the MXU against fixed matrices built from
-# N' = -p^-1 mod R and p itself, in 8-bit limb planes:
-#
-#     m = (T mod R) * N' mod R        -> T8 (tb, 2n) x W1 (2n, 2n)
-#     U = m * p                       -> m8 (tb, 2n) x W2 (2n, 4n)
-#     out = (T + U) / R, cond-sub p
-#
-# Exactness: 8-bit planes give products <= 255^2 and row sums of <= 2n <= 48
-# terms, so every f32 accumulator stays < 2^24 and bf16 inputs (<= 255) are
-# exact — the MXU computes integer convolutions bit-exactly.  Matrix column
-# blocks are ordered [even 8-bit positions | odd positions] so recombination
-# is a shift-add with no lane shuffles.
-# ----------------------------------------------------------------------------
-
-def _mont_matrices(p: int, n: int):
-    """Host-side constant matrices for the MXU reduction (bf16).
-
-    Returns (w1, w2): w1 (2n, 2n) maps T's low-half 8-bit planes (rows
-    ordered [lo8 of each 16-bit limb | hi8]) to the 8-bit columns of
-    m = T_lo * N' mod R (cols ordered [even | odd]); w2 (2n, 4n) maps m's
-    planes to the 8-bit columns of m * p."""
-    R = 1 << (16 * n)
-    nprime = (-pow(p, -1, R)) % R
-    np8 = [(nprime >> (8 * k)) & 0xFF for k in range(2 * n)]
-    p8 = [(p >> (8 * k)) & 0xFF for k in range(2 * n)]
-
-    def pos_in(r):
-        # row r < n: lo8 of limb r (position 2r); else hi8 (position 2r+1)
-        return 2 * r if r < n else 2 * (r - n) + 1
-
-    def build(coeffs, out_positions):
-        w = np.zeros((2 * n, len(out_positions)), np.float32)
-        for r in range(2 * n):
-            pi = pos_in(r)
-            for c, po in enumerate(out_positions):
-                d = po - pi
-                if 0 <= d < len(coeffs):
-                    w[r, c] = coeffs[d]
-        return w.astype(jnp.bfloat16)
-
-    # m: positions 0..2n-1 (mod R truncation), cols [even | odd]
-    w1 = build(np8, [2 * j for j in range(n)] + [2 * j + 1 for j in range(n)])
-    # U = m*p: positions 0..4n-1, cols [even | odd]
-    w2 = build(p8, [2 * j for j in range(2 * n)] + [2 * j + 1 for j in range(2 * n)])
-    return np.asarray(w1), np.asarray(w2)
-
-
-def _conv_lazy(a, b, n, tb):
-    """Schoolbook product of (n, tb) canonical-limb operands as lazy
-    (2n, tb) uint32 rows (each < n * 2^16 < 2^21).  One fori_loop; the
-    accumulator rolls up a row per step so writes stay at fixed offsets."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    n2 = 2 * n
-
-    def padz(x, lo, hi):
-        parts = []
-        if lo:
-            parts.append(jnp.zeros((lo, tb), jnp.uint32))
-        parts.append(x)
-        if hi:
-            parts.append(jnp.zeros((hi, tb), jnp.uint32))
-        return jnp.concatenate(parts, axis=0)
-
-    def body(i, carry):
-        acc, a_rot = carry
-        ai = a_rot[0:1, :]
-        prod = ai * b                        # exact: both < 2^16
-        acc = acc + padz(prod & MASK, 0, n) + padz(prod >> 16, 1, n - 1)
-        acc = pltpu.roll(acc, n2 - 1, axis=0)   # logical row i is final
-        a_rot = pltpu.roll(a_rot, n - 1, axis=0)
-        return (acc, a_rot)
-
-    acc0 = jnp.zeros((n2, tb), jnp.uint32)
-    acc, _ = jax.lax.fori_loop(0, n, body, (acc0, a), unroll=False)
-    return pltpu.roll(acc, n, axis=0)        # undo the n roll-ups
-
-
-def _conv_reduce_mxu(a, b, p_limbs, w1, w2, n, tb):
-    """Montgomery product via lazy VPU convolution + MXU reduction.
-    a, b (n, tb) canonical rows (< 2m); returns canonical (n, tb) < m."""
-    f32 = jnp.float32
-    t16 = _ks_carry_rows(_conv_lazy(a, b, n, tb), 2 * n)  # canonical 2n rows
-
-    def planes8(x16):
-        # (k, tb) 16-bit rows -> (2k, tb) rows [lo8 | hi8]
-        return jnp.concatenate([x16 & 0xFF, x16 >> 8], axis=0)
-
-    def mxu(x8_rows, w, out_cols):
-        # Mosaic has no direct u32<->f32 casts; values are small non-negative
-        # integers, so routing through int32 is exact.
-        xt = (
-            jnp.transpose(x8_rows, (1, 0))
-            .astype(jnp.int32)
-            .astype(f32)
-            .astype(jnp.bfloat16)
-        )
-        prod = jax.lax.dot_general(
-            xt, w, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        )  # (tb, out_cols) exact integers < 2^24
-        even = prod[:, : out_cols // 2].astype(jnp.int32).astype(jnp.uint32)
-        odd = prod[:, out_cols // 2 :].astype(jnp.int32).astype(jnp.uint32)
-        x16 = even + (odd << 8)              # (tb, k) values < 2^30
-        return jnp.transpose(x16, (1, 0))
-
-    m16 = _ks_carry_rows(mxu(planes8(t16[:n]), w1, 2 * n), n)  # m mod R
-    u16 = mxu(planes8(m16), w2, 4 * n)       # (2n, tb) lazy < 2^30
-    s = _ks_carry_rows(t16 + u16, 2 * n)     # low half -> 0, carries up
-    return _cond_sub_rows(s[n:], p_limbs, n)
-
-
-# ----------------------------------------------------------------------------
 # kernels
 # ----------------------------------------------------------------------------
 
-def _make_mont(p_ref, w1_ref, w2_ref, *, n, tb, n0, mxu):
+def _make_mont(p_ref, *, n, tb, n0, variant):
     """Montgomery-product closure over (n, tb) rows for the kernel bodies.
-    `mxu` selects the variant: "mxu" = lazy conv + MXU reduction, "cios3" =
-    two-accumulator merged CIOS (_conv_reduce_v3), anything falsy/"cios" =
-    the padded-window merged CIOS."""
+    `variant` selects the merged-CIOS form: "cios3" = two-accumulator
+    (_conv_reduce_v3, the promoted default), anything else = the original
+    padded-window loop (_conv_reduce, kept as the conservative fallback)."""
     p_limbs = p_ref[:]
-    if mxu == "mxu" or mxu is True:
-        w1 = w1_ref[:]
-        w2 = w2_ref[:]
-        return p_limbs, lambda a, b: _conv_reduce_mxu(a, b, p_limbs, w1, w2, n, tb)
-    if mxu == "cios3":
+    if variant == "cios3":
         return p_limbs, lambda a, b: _conv_reduce_v3(a, b, p_limbs, n, tb, n0)
     return p_limbs, lambda a, b: _conv_reduce(a, b, p_limbs, n, tb, n0)
 
 
-def _mul_kernel(a_ref, b_ref, p_ref, w1_ref, w2_ref, o_ref, *, n, tb, n0, mxu):
+def _mul_kernel(a_ref, b_ref, p_ref, o_ref, *, n, tb, n0, variant):
     a = jnp.transpose(a_ref[:], (1, 0))  # (n, TB)
     b = jnp.transpose(b_ref[:], (1, 0))
-    _, mont = _make_mont(p_ref, w1_ref, w2_ref, n=n, tb=tb, n0=n0, mxu=mxu)
+    _, mont = _make_mont(p_ref, n=n, tb=tb, n0=n0, variant=variant)
     o_ref[:] = jnp.transpose(mont(a, b), (1, 0))
 
 
@@ -381,26 +259,26 @@ def _fp2_mul_rows(a0, a1, b0, b1, p_limbs, mont, n, tb):
     return c0, c1
 
 
-def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref, w1_ref, w2_ref,
-                   c0_ref, c1_ref, *, n, tb, n0, mxu):
+def _fp2mul_kernel(a0_ref, a1_ref, b0_ref, b1_ref, p_ref,
+                   c0_ref, c1_ref, *, n, tb, n0, variant):
     """Fused Karatsuba Fp2 multiply: 3 Montgomery products + combination in
     ONE kernel launch."""
     a0 = jnp.transpose(a0_ref[:], (1, 0))
     a1 = jnp.transpose(a1_ref[:], (1, 0))
     b0 = jnp.transpose(b0_ref[:], (1, 0))
     b1 = jnp.transpose(b1_ref[:], (1, 0))
-    p_limbs, mont = _make_mont(p_ref, w1_ref, w2_ref, n=n, tb=tb, n0=n0, mxu=mxu)
+    p_limbs, mont = _make_mont(p_ref, n=n, tb=tb, n0=n0, variant=variant)
     c0, c1 = _fp2_mul_rows(a0, a1, b0, b1, p_limbs, mont, n, tb)
     c0_ref[:] = jnp.transpose(c0, (1, 0))
     c1_ref[:] = jnp.transpose(c1, (1, 0))
 
 
-def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, w1_ref, w2_ref, c0_ref, c1_ref,
-                   *, n, tb, n0, mxu):
+def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, c0_ref, c1_ref,
+                   *, n, tb, n0, variant):
     """Fused Fp2 square: (a0+a1)(a0-a1) and 2 a0 a1 in ONE launch."""
     a0 = jnp.transpose(a0_ref[:], (1, 0))
     a1 = jnp.transpose(a1_ref[:], (1, 0))
-    p_limbs, mont = _make_mont(p_ref, w1_ref, w2_ref, n=n, tb=tb, n0=n0, mxu=mxu)
+    p_limbs, mont = _make_mont(p_ref, n=n, tb=tb, n0=n0, variant=variant)
     s = _propagate_rows(a0 + a1, n, tb)          # < 2m, limbs canonical
     d = _sub_rows(a0, a1, p_limbs, n, tb)        # canonical
     re = mont(s, d)
@@ -410,20 +288,18 @@ def _fp2sqr_kernel(a0_ref, a1_ref, p_ref, w1_ref, w2_ref, c0_ref, c1_ref,
     c1_ref[:] = jnp.transpose(im, (1, 0))
 
 
-def _fp6mul_kernel(*refs, n, tb, n0, mxu):
+def _fp6mul_kernel(*refs, n, tb, n0, variant):
     """Fused Fp6 product: 6 Fp2 Karatsuba products (18 Montgomery muls) +
     the Toom combination, ONE launch.
 
-    refs: a00,a01,a10,a11,a20,a21, b00,b01,b10,b11,b20,b21, p, w1, w2,
+    refs: a00,a01,a10,a11,a20,a21, b00,b01,b10,b11,b20,b21, p,
           c00,c01,c10,c11,c20,c21
     (aIJ = Fp6 coefficient I, Fp2 coordinate J)."""
     ins = refs[:12]
-    outs = refs[15:21]
+    outs = refs[13:19]
     A = [jnp.transpose(r[:], (1, 0)) for r in ins[:6]]
     B = [jnp.transpose(r[:], (1, 0)) for r in ins[6:12]]
-    p_limbs, mont = _make_mont(
-        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
-    )
+    p_limbs, mont = _make_mont(refs[12], n=n, tb=tb, n0=n0, variant=variant)
 
     def f2mul(ai, bi):
         return _fp2_mul_rows(
@@ -678,35 +554,34 @@ def _flat_f12(f):
     return [c for f6 in f for f2c in f6 for c in f2c]
 
 
-def _fp12mul_kernel(*refs, n, tb, n0, mxu):
+def _fp12mul_kernel(*refs, n, tb, n0, variant):
     """Fused full Fp12 product (Karatsuba over Fp6: 18 Fp2 muls = 54
     Montgomery muls) + every combination add, ONE launch.  refs: 12 a
-    coords + 12 b coords (coefficient-major c0.c0.r .. c1.c2.i), p, w1,
-    w2, 12 outputs."""
-    ins, outs = refs[:24], refs[27:39]
-    p_limbs, mont = _make_mont(refs[24], refs[25], refs[26], n=n, tb=tb, n0=n0, mxu=mxu)
+    coords + 12 b coords (coefficient-major c0.c0.r .. c1.c2.i), p, 12 outputs."""
+    ins, outs = refs[:24], refs[25:37]
+    p_limbs, mont = _make_mont(refs[24], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
     out = _f12_mul(f2, _group_f12(rows[:12]), _group_f12(rows[12:]))
     _store_rows(outs, _flat_f12(out))
 
 
-def _fp12sqr_kernel(*refs, n, tb, n0, mxu):
+def _fp12sqr_kernel(*refs, n, tb, n0, variant):
     """Fused generic Fp12 square (2 Fp6 products = 36 Montgomery muls),
-    ONE launch.  refs: 12 coords, p, w1, w2, 12 outputs."""
-    ins, outs = refs[:12], refs[15:27]
-    p_limbs, mont = _make_mont(refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu)
+    ONE launch.  refs: 12 coords, p, 12 outputs."""
+    ins, outs = refs[:12], refs[13:25]
+    p_limbs, mont = _make_mont(refs[12], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     out = _f12_sqr(f2, _group_f12(_load_rows(ins)))
     _store_rows(outs, _flat_f12(out))
 
 
-def _mul014_kernel(*refs, n, tb, n0, mxu):
+def _mul014_kernel(*refs, n, tb, n0, variant):
     """Fused sparse Fp12 x line multiply (pairing.fp12_mul_by_014, 15 Fp2
     muls), ONE launch.  refs: 12 f coords + c0 (2) + c1 (2) + c4 (2), p,
-    w1, w2, 12 outputs."""
-    ins, outs = refs[:18], refs[21:33]
-    p_limbs, mont = _make_mont(refs[18], refs[19], refs[20], n=n, tb=tb, n0=n0, mxu=mxu)
+    12 outputs."""
+    ins, outs = refs[:18], refs[19:31]
+    p_limbs, mont = _make_mont(refs[18], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
     f = _group_f12(rows[:12])
@@ -741,13 +616,13 @@ def _miller_dbl_rows(f2, X, Y, Z, xp, yp):
     return (x3, y3, z3), (i_, c1l, c4l)
 
 
-def _dblstep_kernel(*refs, n, tb, n0, mxu):
+def _dblstep_kernel(*refs, n, tb, n0, variant):
     """Fused Miller doubling step (pairing._dbl_step: CLN homogeneous
     projective, M-twist): the full T update + line coefficients in ONE
-    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, w1, w2, then
+    launch.  refs: X (2), Y (2), Z (2), xp, yp (Fp rows), p, then
     outputs X' Y' Z' (6) + line i_, c1l, c4l (6)."""
-    ins, outs = refs[:8], refs[11:23]
-    p_limbs, mont = _make_mont(refs[8], refs[9], refs[10], n=n, tb=tb, n0=n0, mxu=mxu)
+    ins, outs = refs[:8], refs[9:21]
+    p_limbs, mont = _make_mont(refs[8], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
     X, Y, Z = _group_f2(rows[:6])
@@ -783,12 +658,12 @@ def _miller_add_rows(f2, X, Y, Z, xq, yq, xp, yp):
     return (x3, y3, z3), (c0l, c1l, c4l)
 
 
-def _addstep_kernel(*refs, n, tb, n0, mxu):
+def _addstep_kernel(*refs, n, tb, n0, variant):
     """Fused Miller mixed-addition step (pairing._add_step) in ONE launch.
-    refs: X (2), Y (2), Z (2), xq (2), yq (2), xp, yp, p, w1, w2, then
+    refs: X (2), Y (2), Z (2), xq (2), yq (2), xp, yp, p, then
     outputs X' Y' Z' (6) + line c0l, c1l, c4l (6)."""
-    ins, outs = refs[:12], refs[15:27]
-    p_limbs, mont = _make_mont(refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu)
+    ins, outs = refs[:12], refs[13:25]
+    p_limbs, mont = _make_mont(refs[12], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
     X, Y, Z, xq, yq = _group_f2(rows[:10])
@@ -866,19 +741,17 @@ def _elems_to_rows(elems, coord):
     return list(elems)
 
 
-def _ptdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, coord):
+def _ptdbl_kernel(cnt_ref, *refs, n, tb, n0, variant, coord):
     """Fused Jacobian point doubling (curve.pt_double), ONE launch.
-    coord 'fp' (G1): refs = X, Y, Z, p, w1, w2, 3 outputs.
-    coord 'fp2' (G2): refs = X (2), Y (2), Z (2), p, w1, w2, 6 outputs.
+    coord 'fp' (G1): refs = X, Y, Z, p, 3 outputs.
+    coord 'fp2' (G2): refs = X (2), Y (2), Z (2), p, 6 outputs.
     The doubling iterates cnt times in-kernel (fori_loop over the SMEM
     run-length scalar, so every ladder run shares one Mosaic payload) — a
     doubling run costs one launch + one HBM round-trip total."""
     nc = 2 if coord == "fp2" else 1
     nin = 3 * nc
-    ins, outs = refs[:nin], refs[nin + 3:]
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
+    ins, outs = refs[:nin], refs[nin + 1:]
+    p_limbs, mont = _make_mont(refs[nin], n=n, tb=tb, n0=n0, variant=variant)
     F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
     elems = _rows_to_elems(F, _load_rows(ins), coord)
 
@@ -892,18 +765,16 @@ def _ptdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, coord):
     _store_rows(outs, list(flat))
 
 
-def _ptadd_kernel(*refs, n, tb, n0, mxu, coord):
+def _ptadd_kernel(*refs, n, tb, n0, variant, coord):
     """Fused complete Jacobian addition (curve.pt_add) with all cmov edge
     cases resolved in-kernel, ONE launch.
-    coord 'fp': refs = P (3), Q (3), p, w1, w2, one-col, 3 outputs.
-    coord 'fp2': refs = P (6), Q (6), p, w1, w2, one-col, 6 outputs."""
+    coord 'fp': refs = P (3), Q (3), p, one-col, 3 outputs.
+    coord 'fp2': refs = P (6), Q (6), p, one-col, 6 outputs."""
     nc = 2 if coord == "fp2" else 1
     nin = 6 * nc
-    ins, outs = refs[:nin], refs[nin + 4:]
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    ins, outs = refs[:nin], refs[nin + 2:]
+    p_limbs, mont = _make_mont(refs[nin], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[nin + 1][:], (n, tb))
     zero_rows = jnp.zeros((n, tb), jnp.uint32)
     F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
@@ -918,7 +789,7 @@ def _ptadd_kernel(*refs, n, tb, n0, mxu, coord):
     _store_rows(outs, _elems_to_rows(out, coord))
 
 
-def _ptmulconst_kernel(seg_ref, *refs, n, tb, n0, mxu, coord, nseg):
+def _ptmulconst_kernel(seg_ref, *refs, n, tb, n0, variant, coord, nseg):
     """Fused constant-scalar point multiplication — the ENTIRE static
     double-and-add ladder in ONE launch.  Starting from acc = P (top set
     bit), for each MSB-first segment s < nseg:
@@ -930,15 +801,13 @@ def _ptmulconst_kernel(seg_ref, *refs, n, tb, n0, mxu, coord, nseg):
     seg_ref: (2, nseg) SMEM int32 [lens; flags] — every scalar with the
     same segment count shares one Mosaic payload.
 
-    coord 'fp': refs = P (3), p, w1, w2, one_col, 3 outputs.
-    coord 'fp2': refs = P (6), p, w1, w2, one_col, 6 outputs."""
+    coord 'fp': refs = P (3), p, one_col, 3 outputs.
+    coord 'fp2': refs = P (6), p, one_col, 6 outputs."""
     nc = 2 if coord == "fp2" else 1
     nin = 3 * nc
-    ins, outs = refs[:nin], refs[nin + 4:]
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    ins, outs = refs[:nin], refs[nin + 2:]
+    p_limbs, mont = _make_mont(refs[nin], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[nin + 1][:], (n, tb))
     zero_rows = jnp.zeros((n, tb), jnp.uint32)
     F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
     base_rows = _load_rows(ins)
@@ -967,7 +836,7 @@ def _ptmulconst_kernel(seg_ref, *refs, n, tb, n0, mxu, coord, nseg):
     _store_rows(outs, list(flat))
 
 
-def _powwin_kernel(dig_ref, *refs, n, tb, n0, mxu, nc, nwin):
+def _powwin_kernel(dig_ref, *refs, n, tb, n0, variant, nc, nwin):
     """Fused windowed pow — a^exp for a host-constant exponent, the ENTIRE
     chain in ONE launch: the 16-entry window table is built in-kernel
     (14 multiplies), then nwin MSB-first 4-bit windows each do 4 squarings
@@ -976,13 +845,11 @@ def _powwin_kernel(dig_ref, *refs, n, tb, n0, mxu, nc, nwin):
     windows keep f == 1 exactly), so every exponent of a given width
     shares one Mosaic payload.
 
-    nc=1 (Fp): refs = a, p, w1, w2, one_col, 1 output.
-    nc=2 (Fp2): refs = a0, a1, p, w1, w2, one_col, 2 outputs."""
-    ins, outs = refs[:nc], refs[nc + 4:]
-    p_limbs, mont = _make_mont(
-        refs[nc], refs[nc + 1], refs[nc + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    one_rows = jnp.broadcast_to(refs[nc + 3][:], (n, tb))
+    nc=1 (Fp): refs = a, p, one_col, 1 output.
+    nc=2 (Fp2): refs = a0, a1, p, one_col, 2 outputs."""
+    ins, outs = refs[:nc], refs[nc + 2:]
+    p_limbs, mont = _make_mont(refs[nc], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[nc + 1][:], (n, tb))
     zero_rows = jnp.zeros((n, tb), jnp.uint32)
     rows = _load_rows(ins)
     if nc == 2:
@@ -1019,7 +886,7 @@ def _powwin_kernel(dig_ref, *refs, n, tb, n0, mxu, nc, nwin):
     _store_rows(outs, list(out))
 
 
-def _ptmulvar_kernel(nb_ref, *refs, n, tb, n0, mxu, coord):
+def _ptmulvar_kernel(nb_ref, *refs, n, tb, n0, variant, coord):
     """Fused variable-scalar point multiplication — the whole MSB-first
     double-and-cmov-add ladder in ONE launch.  The per-element scalars
     ride in as limb rows PRE-ALIGNED so the scan's first bit sits at
@@ -1027,15 +894,13 @@ def _ptmulvar_kernel(nb_ref, *refs, n, tb, n0, mxu, coord):
     reads the top bit and shifts the scalar rows up one bit.
 
     nb_ref: (1,) SMEM int32 = number of bits to scan.
-    coord 'fp': refs = P (3), s, p, w1, w2, one_col, 3 outputs.
-    coord 'fp2': refs = P (6), s, p, w1, w2, one_col, 6 outputs."""
+    coord 'fp': refs = P (3), s, p, one_col, 3 outputs.
+    coord 'fp2': refs = P (6), s, p, one_col, 6 outputs."""
     nc = 2 if coord == "fp2" else 1
     nin = 3 * nc + 1
-    ins, outs = refs[:nin], refs[nin + 4:]
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    ins, outs = refs[:nin], refs[nin + 2:]
+    p_limbs, mont = _make_mont(refs[nin], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[nin + 1][:], (n, tb))
     zero_rows = jnp.zeros((n, tb), jnp.uint32)
     F = (_F2Rows if coord == "fp2" else _F1Rows)(p_limbs, mont, n, tb)
     rows = _load_rows(ins)
@@ -1104,7 +969,7 @@ def _gs_body(f2, Z):
     ]
 
 
-def _cyclo_sqr_kernel(cnt_ref, *refs, n, tb, n0, mxu):
+def _cyclo_sqr_kernel(cnt_ref, *refs, n, tb, n0, variant):
     """Fused Granger-Scott cyclotomic square: 9 Fp2 squares (18 Montgomery
     muls) + all xi/combination arithmetic in ONE launch (mirrors
     tower.fp12_cyclotomic_sqr's jnp fallback / golden fp12_cyclotomic_sqr).
@@ -1114,13 +979,11 @@ def _cyclo_sqr_kernel(cnt_ref, *refs, n, tb, n0, mxu):
     one launch per run, and every run length shares ONE Mosaic payload.
 
     refs: z0c0, z0c1, ..., z5c0, z5c1 (12 inputs in the GS z-ordering —
-    the caller does the fp12<->z coefficient permutation), p, w1, w2,
+    the caller does the fp12<->z coefficient permutation), p,
     then 12 outputs in the same z-ordering."""
     ins = refs[:12]
-    outs = refs[15:27]
-    p_limbs, mont = _make_mont(
-        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
-    )
+    outs = refs[13:25]
+    p_limbs, mont = _make_mont(refs[12], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     Z = _group_f2(_load_rows(ins))
 
@@ -1140,7 +1003,7 @@ def _cyclo_sqr_kernel(cnt_ref, *refs, n, tb, n0, mxu):
 _Z_PERM = [0, 1, 8, 9, 6, 7, 4, 5, 2, 3, 10, 11]
 
 
-def _expx_kernel(seg_ref, *refs, n, tb, n0, mxu, nseg):
+def _expx_kernel(seg_ref, *refs, n, tb, n0, variant, nseg):
     """Fused cyclotomic exp-by-|x| — the ENTIRE final-exp x-chain in ONE
     launch.  Starting from f = m (the top set bit), for each MSB-first
     segment s < nseg:
@@ -1154,11 +1017,9 @@ def _expx_kernel(seg_ref, *refs, n, tb, n0, mxu, nseg):
     subgroup (as after the easy part); the caller applies the final
     conjugation for x < 0.
 
-    refs: 12 m coords (fp12 coefficient-major), p, w1, w2; 12 outputs."""
-    ins, outs = refs[:12], refs[15:27]
-    p_limbs, mont = _make_mont(
-        refs[12], refs[13], refs[14], n=n, tb=tb, n0=n0, mxu=mxu
-    )
+    refs: 12 m coords (fp12 coefficient-major), p; 12 outputs."""
+    ins, outs = refs[:12], refs[13:25]
+    p_limbs, mont = _make_mont(refs[12], n=n, tb=tb, n0=n0, variant=variant)
     f2 = _F2Rows(p_limbs, mont, n, tb)
     m_rows = _load_rows(ins)
     m12 = _group_f12(m_rows)
@@ -1190,7 +1051,7 @@ def _miller_line_apply(f2, f, line, valid, one2, zero2):
     return _f12_mul_014(f2, f, c0, c1, c4)
 
 
-def _millerdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, k):
+def _millerdbl_kernel(cnt_ref, *refs, n, tb, n0, variant, k):
     """Fused Miller doubling RUN: `cnt` (a runtime SMEM scalar — one Mosaic
     payload covers every run length) iterations of
 
@@ -1201,14 +1062,12 @@ def _millerdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, k):
     kernel dispatch + one HBM round-trip instead of (1 + 2k) * run.
 
     refs: 12 f coords; per pair i < k: X (2), Y (2), Z (2), xp, yp,
-    valid (uint32 rows, row 0 is the mask); p, w1, w2, one_col; then
+    valid (uint32 rows, row 0 is the mask); p, one_col; then
     outputs: 12 f' + per pair X' Y' Z' (6k)."""
     nin = 12 + 9 * k
-    ins, outs = refs[:nin], refs[nin + 4:]
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    ins, outs = refs[:nin], refs[nin + 2:]
+    p_limbs, mont = _make_mont(refs[nin], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[nin + 1][:], (n, tb))
     zero_rows = jnp.zeros((n, tb), jnp.uint32)
     one2, zero2 = (one_rows, zero_rows), (zero_rows, zero_rows)
     f2 = _F2Rows(p_limbs, mont, n, tb)
@@ -1235,19 +1094,17 @@ def _millerdbl_kernel(cnt_ref, *refs, n, tb, n0, mxu, k):
     _store_rows(outs, list(flat))
 
 
-def _milleradd_kernel(*refs, n, tb, n0, mxu, k):
+def _milleradd_kernel(*refs, n, tb, n0, variant, k):
     """Fused Miller mixed-addition BLOCK: for each pair i,
     T_i, line_i = add_step(T_i, Q_i); f = f * line_i (neutralised where
     invalid) — one launch per set bit of the loop parameter.
 
     refs: 12 f coords; per pair: X (2), Y (2), Z (2), xq (2), yq (2),
-    xp, yp, valid; p, w1, w2, one_col; outputs 12 f' + 6k T'."""
+    xp, yp, valid; p, one_col; outputs 12 f' + 6k T'."""
     nin = 12 + 13 * k
-    ins, outs = refs[:nin], refs[nin + 4:]
-    p_limbs, mont = _make_mont(
-        refs[nin], refs[nin + 1], refs[nin + 2], n=n, tb=tb, n0=n0, mxu=mxu
-    )
-    one_rows = jnp.broadcast_to(refs[nin + 3][:], (n, tb))
+    ins, outs = refs[:nin], refs[nin + 2:]
+    p_limbs, mont = _make_mont(refs[nin], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[nin + 1][:], (n, tb))
     zero_rows = jnp.zeros((n, tb), jnp.uint32)
     one2, zero2 = (one_rows, zero_rows), (zero_rows, zero_rows)
     f2 = _F2Rows(p_limbs, mont, n, tb)
@@ -1275,12 +1132,7 @@ class FieldKernels:
         self.tile = tile
         self.n0 = int(field.n0)
         self.p_col = np.asarray(field.P_LIMBS).reshape(self.n, 1)
-        self.mxu = (
-            "mxu"
-            if config.mxu_reduce
-            else ("cios3" if config.cios_v3 else "cios")
-        )
-        self.w1, self.w2 = _mont_matrices(field.modulus, self.n)
+        self.variant = "cios3" if config.cios_v3 else "cios"
         self.one_col = np.asarray(field.ONE, np.uint32).reshape(self.n, 1)
 
     @staticmethod
@@ -1294,18 +1146,16 @@ class FieldKernels:
         return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
     def _mont_inputs(self):
-        """The constant operands every mul-type kernel takes after the
-        vector inputs: p column + the two MXU reduction matrices."""
+        """The constant operand every mul-type kernel takes after the
+        vector inputs: the modulus limb column."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         n = self.n
         specs = [
             pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n, 2 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n, 4 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-        vals = [jnp.asarray(self.p_col), jnp.asarray(self.w1), jnp.asarray(self.w2)]
+        vals = [jnp.asarray(self.p_col)]
         return specs, vals
 
     def _rec(self, muls, addsubs, shape):
@@ -1365,7 +1215,7 @@ class FieldKernels:
     def mul(self, a, b):
         return self._call(
             lambda tile: functools.partial(
-                _mul_kernel, n=self.n, tb=tile, n0=self.n0, mxu=self.mxu
+                _mul_kernel, n=self.n, tb=tile, n0=self.n0, variant=self.variant
             ),
             a, b, mont_consts=True,
         )
@@ -1393,7 +1243,7 @@ class FieldKernels:
         broadcast + flatten + tile/pad the operands, launch, unflatten.
         `extra`: additional static kwargs for the kernel body.
         `extra_consts`: per-launch-uniform (n, 1) uint32 columns appended
-        as inputs after p/w1/w2 (Mosaic rejects captured array constants,
+        as inputs after p (Mosaic rejects captured array constants,
         so curve constants ride in as operands).
         `max_tile`: per-kernel tile cap overriding self.tile (grid grows to
         cover the batch; total work and semantics are unchanged).
@@ -1442,7 +1292,7 @@ class FieldKernels:
             const_vals.append(jnp.asarray(col, jnp.uint32))
         outs = pl.pallas_call(
             functools.partial(
-                kernel_fn, n=n, tb=tile, n0=self.n0, mxu=self.mxu,
+                kernel_fn, n=n, tb=tile, n0=self.n0, variant=self.variant,
                 **(extra or {}),
             ),
             grid=(total // tile,),
@@ -1592,12 +1442,17 @@ class FieldKernels:
     # zero digits are exact: f stays one through them)
     _POW_NWIN = {1: 96, 2: 192}
 
-    def pow_win(self, coords, nc, digits):
+    def pow_win(self, coords, nc, digits, nwin=None):
         """Fused windowed pow: a^exp for a host-constant exponent — table
         build + every 4-bit window (4 squarings + table multiply) in ONE
         launch.  coords: a's limb tensors (1 for Fp, 2 for Fp2); digits:
-        MSB-first 4-bit digits of the exponent.  Returns nc tensors."""
-        nwin = self._POW_NWIN[nc]
+        MSB-first 4-bit digits of the exponent.  Returns nc tensors.
+        `nwin` overrides the shared fixed window count (a caller whose
+        exponents are structurally shorter — e.g. the Frobenius-split
+        SSWU sqrt's 377-bit chain — picks its own payload width rather
+        than paying for 768 bits of leading zeros)."""
+        if nwin is None:
+            nwin = self._POW_NWIN[nc]
         assert len(digits) <= nwin, (len(digits), nwin)
         digs = np.array([0] * (nwin - len(digits)) + list(digits), np.int32)
         self._rec(
@@ -1709,7 +1564,7 @@ class FieldKernels:
         vec_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
         const_specs, const_vals = self._mont_inputs()
         c0, c1 = pl.pallas_call(
-            functools.partial(kernel, n=n, tb=tile, n0=self.n0, mxu=self.mxu),
+            functools.partial(kernel, n=n, tb=tile, n0=self.n0, variant=self.variant),
             grid=(total // tile,),
             compiler_params=self._compiler_params(),
             in_specs=[vec_spec] * len(ops) + const_specs,

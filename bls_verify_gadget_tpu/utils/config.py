@@ -53,22 +53,17 @@ class Config:
     # fused 4-bit pow-window step kernels (4 squarings + table multiply in
     # one launch) for the SSWU sqrt chains and Fermat inversions
     fuse_pow: bool = os.environ.get("BLS_TPU_FUSE_POW", "1") == "1"
-    # MXU Montgomery reduction: the a*b convolution stays on the VPU (lazy
-    # lo/hi accumulation) and the reduction m = T*N' mod R, U = m*p runs as
-    # two exact bf16 matmuls on the systolic array (8-bit limb planes keep
-    # every f32 accumulator < 2^24).  ops/pallas/kernels.py _conv_reduce_mxu.
-    # Default OFF — measured LOSER on v5e in the round-4 compute-bound
-    # fused pipeline: 4,357 verifies/s vs 7,865 (cios_v3) at batch 4096
-    # (the 8-bit plane splits + transposes around each reduction cost more
-    # VPU work than the matmuls save).  Kept flag-gated only as the
-    # reference design for MXU-heavy chips.
-    mxu_reduce: bool = os.environ.get("BLS_TPU_MXU", "0") == "1"
     # two-accumulator merged CIOS (kernels._conv_reduce_v3): aligned lo/hi
     # accumulation removes the per-step zero-pad concats and the padded
     # 32-row window of the original loop-form CIOS.  Default ON since
     # round 4: measured 7,865 verifies/s vs 6,460 (original window CIOS)
     # at batch 4096 — the fused whole-chain kernels made the pipeline
     # compute-bound, so the ~30% leaner inner loop shows end to end.
+    # (An MXU-reduction variant — lazy VPU convolution + the Montgomery
+    # reduction as two exact bf16 matmuls — was raced in the same pipeline
+    # and lost at 4,357 verifies/s: the 8-bit plane splits and transposes
+    # around each reduction cost more VPU work than the matmuls save on
+    # v5e.  Removed; BASELINE.md keeps the recorded race.)
     cios_v3: bool = os.environ.get("BLS_TPU_CIOS_V3", "1") == "1"
     # static run-structured ladders (scalar mul / Miller / exp chains):
     # "auto" enables them on TPU backends only — they cut kernel launches

@@ -126,13 +126,12 @@ def test_cyclo_sqr_kernel_interpret():
     assert got == want
 
 
-@pytest.mark.heavy
-def test_mxu_reduction_interpret():
-    """The flag-gated MXU Montgomery reduction (config.mxu_reduce, default
-    off — see utils/config.py for the v5e latency-wall measurements) stays
-    semantically identical to merged CIOS."""
+def test_cios_fallback_interpret():
+    """The original padded-window merged CIOS (the conservative fallback
+    behind the promoted cios_v3 default, BLS_TPU_CIOS_V3=0) stays
+    semantically identical to the default variant."""
     K = FieldKernels(FP, tile=128)
-    K.mxu = True
+    K.variant = "cios"
     B = 66
     xs, ys = _vals(B, C.P), _vals(B, C.P)
     edge = [0, 1, C.P - 1, C.P - 2]

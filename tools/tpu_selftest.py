@@ -728,14 +728,14 @@ def _variant_mul(cx, which):
     xs = cx.vals(C.P, edges=[0, 1, C.P - 1, C.P - 2])
     ys = cx.vals(C.P, edges=[C.P - 1, C.P - 1, C.P - 1, C.P - 1])
     Km = FieldKernels(cx.FP, tile=cx.tile)
-    Km.mxu = which
+    Km.variant = which
     got = cx.FP.decode(np.asarray(Km.mul(cx.enc(xs), cx.enc(ys))))
     assert got == [x * y % C.P for x, y in zip(xs, ys)]
 
 
-@case("mxu_mul")
-def t_mxu(cx):
-    _variant_mul(cx, "mxu")
+@case("cios_mul")
+def t_cios_fallback(cx):
+    _variant_mul(cx, "cios")
 
 
 @case("cios3_mul")
