@@ -128,7 +128,8 @@ def main():
     throughput = args.batch / best
 
     # per-stage steady state: where the verify time goes (each stage timed
-    # on its own warmed inputs)
+    # on its own warmed inputs; min over reps, mirroring the headline loop,
+    # so the per-stage numbers are no noisier than steady_state_s)
     stage_times = None
     if not args.single_program:
         h = jax.block_until_ready(hash_exe(msg))
@@ -139,9 +140,12 @@ def main():
             ("miller", lambda: miller_exe(pk, sig, h)),
             ("final_exp", lambda: fexp_exe(*fm)),
         ):
-            t0 = time.time()
-            jax.block_until_ready(fn())
-            stage_times[name] = round(time.time() - t0, 4)
+            reps = []
+            for _ in range(args.iters):
+                t0 = time.time()
+                jax.block_until_ready(fn())
+                reps.append(time.time() - t0)
+            stage_times[name] = round(min(reps), 4)
 
     # roofline: logical field-op count per verify, precomputed by
     # tools/gen_roofline.py (bench expresses the measured throughput as
@@ -169,7 +173,16 @@ def main():
         "device": str(jax.devices()[0]),
         "scaling": _embed("SCALING.json"),
         "r1cs": _embed("R1CS_BENCH.json"),
+        # latency/throughput envelope across batch sizes, recorded on
+        # hardware by tools/bench_sweep.py (separate compiles; kept out of
+        # the driver's cold-compile window)
+        "batch_sweep": _embed("BATCH_SWEEP.json"),
     }
+    sweep = rec["batch_sweep"]
+    if sweep and "256" in sweep.get("steady_state_s", {}):
+        rec["latency_batch256_ms"] = round(
+            sweep["steady_state_s"]["256"] * 1000, 2
+        )
     if fpmul_per_verify is not None:
         rec["roofline_fpmul_per_verify"] = round(fpmul_per_verify)
         rec["roofline_sustained_fpmul_per_s"] = round(fpmul_per_verify * throughput)

@@ -41,6 +41,19 @@ class ParametersVar:
             )
         )
 
+    @staticmethod
+    def alloc(cs, g1=None, mode=AllocationMode.WITNESS) -> "ParametersVar":
+        """Full AllocVar surface (reference src/constraints.rs:194-212):
+        allocate the generator as a constant, public input, or witness —
+        a prover that witnesses its parameters delegates to the G1 point
+        allocator exactly as the reference delegates to G1Var::new_variable.
+        `g1` is an affine (x, y) pair or None for the canonical generator."""
+        if g1 is None:
+            g1 = C.G1_GEN
+        if mode == AllocationMode.CONSTANT and g1 == C.G1_GEN:
+            return ParametersVar.constant(cs)
+        return ParametersVar(RC.alloc_g1(cs, g1, mode))
+
 
 def _fq_bytes_le(coord: FpVar) -> list[UInt8]:
     """Decompose one base-field coordinate into 48 LE byte gadgets."""

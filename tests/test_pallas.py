@@ -622,3 +622,45 @@ def test_pow_win_kernel_interpret():
                 r = GF.fp2_mul(r, x)
         want.append(r)
     assert got == want
+
+
+def test_fused_chain_smoke_default_tier():
+    """Default-tier smoke for the whole-chain kernel family (ADVICE r4 #2):
+    one SHORT pow chain (nwin=8 override, the production-default fused path)
+    and one 2-iteration cyclo-free doubling run differential — so the cheap
+    tier exercises the SMEM-run-structure machinery, while full-width
+    coverage stays in the heavy tier and the hardware battery."""
+    B = 8
+    xs = [0, 1, C.P - 1] + _vals(B - 3, C.P)
+    exp = 0xDEADBEEF12345  # 52-bit: 13 digits, padded to 16 windows
+    digits = []
+    e = exp
+    while e:
+        digits.append(e & 15)
+        e >>= 4
+    digits = digits[::-1]
+    K = FieldKernels(FP, tile=128)
+    ax = jnp.asarray(FP.encode(xs))
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pow_win([ax], 1, digits, nwin=16)
+    assert FP.decode(np.asarray(o[0])) == [pow(x, exp, C.P) for x in xs]
+
+    # 2-iteration G1 doubling run: the count_scalar SMEM fori_loop path
+    from bls_verify_gadget_tpu.golden import curve as gc
+
+    pts = [gc.g1_mul(C.G1_GEN, k + 1) for k in range(B)]
+    coords = [
+        jnp.asarray(FP.encode([p[0] for p in pts])),
+        jnp.asarray(FP.encode([p[1] for p in pts])),
+        jnp.asarray(FP.encode([1] * B)),
+    ]
+    with pltpu.force_tpu_interpret_mode():
+        o = K.pt_dbl(coords, "fp", count=2)
+    got_x = FP.decode(np.asarray(o[0]))
+    got_y = FP.decode(np.asarray(o[1]))
+    got_z = FP.decode(np.asarray(o[2]))
+    for k, p in enumerate(pts):
+        want = gc.g1_mul(p, 4)
+        zi = pow(got_z[k], -1, C.P)
+        assert (got_x[k] * zi * zi % C.P,
+                got_y[k] * zi * zi * zi % C.P) == want

@@ -157,3 +157,41 @@ def test_mapped_aggregate_gadget():
     assert apk.pt.value() == want
     assert count.value == sum(bits)
     assert cs.is_satisfied()
+
+
+def test_parameters_var_alloc_modes():
+    """ParametersVar full AllocVar surface (reference src/constraints.rs:
+    194-212): the generator allocates as constant, input, or witness; the
+    witness-mode allocation is satisfiable (on-curve check holds for the
+    generator) and composes with a pairing-free gadget use (negate)."""
+    from bls_verify_gadget_tpu.r1cs.system import AllocationMode
+    from bls_verify_gadget_tpu.r1cs.verify import ParametersVar
+
+    for mode in (AllocationMode.CONSTANT, AllocationMode.INPUT,
+                 AllocationMode.WITNESS):
+        cs = ConstraintSystem()
+        base = cs.num_constraints
+        pv = ParametersVar.alloc(cs, mode=mode)
+        assert pv.g1.x.value == C.G1_GEN[0]
+        assert pv.g1.y.value == C.G1_GEN[1]
+        neg = pv.g1.negate()
+        assert neg.y.value == (-C.G1_GEN[1]) % C.P
+        assert cs.is_satisfied(), (mode, cs.which_unsatisfied())
+        if mode == AllocationMode.CONSTANT:
+            assert cs.num_constraints == base  # no rows for constants
+        else:
+            # non-constant allocations carry the on-curve enforcement
+            assert cs.num_constraints > base
+
+    # witness-mode with a non-generator (but on-curve) parameter point
+    cs = ConstraintSystem()
+    p2 = gc.g1_add(C.G1_GEN, C.G1_GEN)
+    pv = ParametersVar.alloc(cs, p2, AllocationMode.WITNESS)
+    assert (pv.g1.x.value, pv.g1.y.value) == p2
+    assert cs.is_satisfied(), cs.which_unsatisfied()
+
+    # an off-curve parameter point must NOT satisfy the on-curve row
+    cs = ConstraintSystem()
+    ParametersVar.alloc(cs, (C.G1_GEN[0], C.G1_GEN[1] + 1),
+                        AllocationMode.WITNESS)
+    assert not cs.is_satisfied()
