@@ -482,10 +482,51 @@ def g2_in_subgroup(p):
     return pt_eq(FP2_OPS, g2_psi(p), pt_neg(FP2_OPS, xq))
 
 
+_COF_CONST_BLOCK = None
+
+
+def _cof_const_block():
+    """(nlimb, COF_CONST_COLS) psi-constant column table for the fused
+    cofactor kernel."""
+    global _COF_CONST_BLOCK
+    if _COF_CONST_BLOCK is None:
+        cols = [
+            FP.encode(C.PSI_X[0]), FP.encode(C.PSI_X[1]),
+            FP.encode(C.PSI_Y[0]), FP.encode(C.PSI_Y[1]),
+            FP.encode(C.PSI2_X_C0),
+        ]
+        _COF_CONST_BLOCK = np.stack(
+            [np.asarray(c, np.uint32) for c in cols], axis=1
+        )
+    return _COF_CONST_BLOCK
+
+
+def _absx_segs():
+    """ABS_X's MSB-first [(run_len, ends_on_set_bit), ...] after the top
+    bit — the same seg structure pt_mul_const builds."""
+    segs, run = [], 0
+    for bit in bin(C.ABS_X)[3:]:
+        run += 1
+        if bit == "1":
+            segs.append((run, 1))
+            run = 0
+    if run:
+        segs.append((run, 0))
+    return segs
+
+
 def g2_clear_cofactor(p):
     """Budroni-Pintore: [x^2 - x - 1]P + [x - 1]psi(P) + psi2(2P)
     (fast version of reference src/hasher.rs:663-673; validated against the
-    h_eff golden path in tests)."""
+    h_eff golden path in tests).  On TPU the ENTIRE chain — both
+    |x|-ladders, psi maps and all additions — is ONE fused launch."""
+    from ..utils.config import config
+
+    if _use_fused_pt() and config.fuse_cofactor:
+        o = FP.kernels.g2_cofactor(
+            _fused_pt_coords(FP2_OPS, [p]), _cof_const_block(), _absx_segs()
+        )
+        return _fused_pt_unflat(FP2_OPS, o)
     xp = pt_neg(FP2_OPS, pt_mul_const(FP2_OPS, p, C.ABS_X))       # [x]P
     xxp = pt_neg(FP2_OPS, pt_mul_const(FP2_OPS, xp, C.ABS_X))     # [x^2]P
     t = pt_add(FP2_OPS, xxp, pt_neg(FP2_OPS, xp))

@@ -357,11 +357,67 @@ def map_to_curve_g2(u):
     return iso3_map_jacobian(x, y)
 
 
+# ----------------------------------------------------------------------------
+# fused whole-map kernel wiring (TPU): constant block + chain digits
+# ----------------------------------------------------------------------------
+
+def _digits4(e: int):
+    """MSB-first 4-bit digits of a host integer."""
+    d = []
+    while e:
+        d.append(e & 15)
+        e >>= 4
+    return d[::-1]
+
+
+SQRT_DIGITS = tuple(_digits4(_SQRT_K))
+INV_DIGITS = tuple(_digits4(C.P - 2))
+
+_SSWU_CONST_BLOCK = None
+
+
+def _sswu_const_block():
+    """(nlimb, SSWU_CONST_COLS) uint32 Montgomery column table for the
+    fused kernel (kernels._sswu_kernel's c2() indexing contract)."""
+    global _SSWU_CONST_BLOCK
+    if _SSWU_CONST_BLOCK is None:
+        za = GF.fp2_mul(C.SSWU_Z, C.SSWU_A)
+        cz3 = GF.fp2_pow(_Z3_HOST, (C.Q2 + 7) // 16)
+        _, _, sq_i, sq_mi = _compute_sqrt_candidates()
+        vals = [C.SSWU_A, C.SSWU_B, C.SSWU_Z, za, _Z3_HOST, cz3, sq_i, sq_mi]
+        vals += list(C.ISO3_XNUM) + list(C.ISO3_XDEN)
+        vals += list(C.ISO3_YNUM) + list(C.ISO3_YDEN)
+        cols = []
+        for v in vals:
+            cols.append(FP.encode(v[0]))
+            cols.append(FP.encode(v[1]))
+        block = np.stack([np.asarray(c, np.uint32) for c in cols], axis=1)
+        from .pallas.kernels import SSWU_CONST_COLS
+
+        assert block.shape == (C.NLIMB, SSWU_CONST_COLS), block.shape
+        _SSWU_CONST_BLOCK = block
+    return _SSWU_CONST_BLOCK
+
+
+def _fused_map2(u0, u1):
+    """Both SSWU maps + isogeny + q0 + q1 in ONE kernel launch."""
+    o = FP.kernels.sswu_map2(
+        [u0[0], u0[1], u1[0], u1[1]],
+        _sswu_const_block(), list(SQRT_DIGITS), list(INV_DIGITS),
+    )
+    return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+
+
 def hash_to_g2(msg_u8, msg_len: int, dst: bytes = C.DST_G2, lens=None):
     """Full batched hash-to-G2 -> Jacobian G2 point (in E2, subgroup).
     `lens` enables mixed-length message batches (see expand_message_xmd)."""
+    from ..utils.config import config
+
     u0, u1 = hash_to_field_fp2(msg_u8, msg_len, 2, dst, lens=lens)
-    q0 = map_to_curve_g2(u0)
-    q1 = map_to_curve_g2(u1)
-    r = CV.pt_add(CV.FP2_OPS, q0, q1)
+    if FP._use_pallas() and config.fuse_sswu:
+        r = _fused_map2(u0, u1)
+    else:
+        q0 = map_to_curve_g2(u0)
+        q1 = map_to_curve_g2(u1)
+        r = CV.pt_add(CV.FP2_OPS, q0, q1)
     return CV.g2_clear_cofactor(r)

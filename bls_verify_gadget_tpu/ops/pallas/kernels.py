@@ -394,6 +394,18 @@ class _F2Rows:
             _add_rows(a[0], a[1], self.p, self.n, self.tb),
         )
 
+    def conj(self, a):  # a0 - a1 u
+        z = jnp.zeros_like(a[1])
+        return (a[0], _sub_rows(z, a[1], self.p, self.n, self.tb))
+
+    def muli(self, a):  # * u (sqrt(-1)): (a0 + a1 u) u = -a1 + a0 u
+        z = jnp.zeros_like(a[1])
+        return (_sub_rows(z, a[1], self.p, self.n, self.tb), a[0])
+
+    def eq(self, a, b):  # -> (1, tb) bool; canonical-limb equality
+        d = (a[0] ^ b[0]) | (a[1] ^ b[1])
+        return jnp.sum(d.astype(jnp.int32), axis=0, keepdims=True) == 0
+
     def muls(self, a, s):  # * Fp scalar (s canonical rows)
         return (self.mont(a[0], s), self.mont(a[1], s))
 
@@ -886,6 +898,332 @@ def _powwin_kernel(dig_ref, *refs, n, tb, n0, variant, nc, nwin):
     _store_rows(outs, list(out))
 
 
+def _pow_win_rows(F, a, dig_ref, dig_row, nwin, one):
+    """Shared in-kernel windowed pow on row elements: 16-entry table build
+    (14 multiplies) + nwin MSB-first 4-bit windows of 4 squarings + one
+    16-way-cmov table multiply.  `dig_ref` is a 2-D SMEM int32 ref indexed
+    [dig_row, w]; digits are zero-padded at the FRONT (leading zero windows
+    keep f == one exactly).  Element shape follows `a` (works at any lane
+    width, including the lane-concatenated two-map SSWU chain)."""
+    is_f2 = isinstance(a, tuple)
+    flat = (lambda e: list(e)) if is_f2 else (lambda e: [e])
+    tab = [one, a]
+    for _ in range(14):
+        tab.append(F.mul(tab[-1], a))
+
+    def body(w, fl):
+        f = (fl[0], fl[1]) if is_f2 else fl[0]
+        for _ in range(4):
+            f = F.sqr(f)
+        d = dig_ref[dig_row, w]
+        sel = tab[0]
+        for t in range(1, 16):
+            m = (d == t)
+            if is_f2:
+                sel = (jnp.where(m, tab[t][0], sel[0]),
+                       jnp.where(m, tab[t][1], sel[1]))
+            else:
+                sel = jnp.where(m, tab[t], sel)
+        f = F.mul(f, sel)
+        return tuple(flat(f))
+
+    out = jax.lax.fori_loop(0, nwin, body, tuple(flat(one)))
+    return (out[0], out[1]) if is_f2 else out[0]
+
+
+def _cand_select_rows(f2, z, X, R, sqi, sqmi, target_num, zero2):
+    """Fraction-form sqrt candidate resolution (the in-kernel twin of
+    hash_to_g2._sqrt_from_candidate): candidates y = z*c for c in
+    (1, i, sqrt(i), sqrt(-i)); the check (z c)^2 gxd == gxn yd^2 becomes
+    X * c^2 == R with X = z^2 gxd and c^2 in {1, -1, i, -i} — negation /
+    coordinate swaps instead of multiply+square per candidate.  Returns
+    (numerator, found); numerator is 0 when nothing passes, and `found`
+    starts at target_num == 0 (sqrt(0) = 0), both mirroring the jnp path."""
+    negX = f2.neg(X)
+    checks = [
+        (f2.eq(X, R), z),                      # c = 1,        c^2 = 1
+        (f2.eq(negX, R), f2.muli(z)),          # c = i,        c^2 = -1
+        (f2.eq(f2.muli(X), R), f2.mul(z, sqi)),    # c = sqrt(i),  c^2 = i
+        (f2.eq((X[1], negX[0]), R), f2.mul(z, sqmi)),  # c^2 = -i
+    ]
+    found = f2.is_zero(target_num)
+    best = zero2
+    for ok, val in checks:
+        best = f2.cmov(ok & ~found, val, best)
+        found = found | ok
+    return best, found
+
+
+def _sgn0_rows(f1, e, one_raw):
+    """RFC 9380 sgn0 (m = 2) on an Fp2 row element, matching
+    tower.fp2_sgn0: convert out of Montgomery form (multiply by raw 1) for
+    canonical parity; sign = sgn0(c1) if c0 == 0 else sgn0(c0)."""
+    r0 = f1.mul(e[0], one_raw)
+    r1 = f1.mul(e[1], one_raw)
+    s0 = r0[0:1, :] & 1
+    s1 = r1[0:1, :] & 1
+    return jnp.where(f1.is_zero(r0), s1, s0)
+
+
+def _horner_rows(f2, coeffs, x):
+    acc = coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        acc = f2.add(f2.mul(acc, x), c)
+    return acc
+
+
+# SSWU constant-block column indices (component-major Fp2 pairs); the block
+# itself is built by ops/hash_to_g2.py from the host constants
+_SSWU_A, _SSWU_B, _SSWU_Z, _SSWU_ZA = 0, 2, 4, 6
+_SSWU_Z3, _SSWU_CZ3, _SSWU_SQI, _SSWU_SQMI = 8, 10, 12, 14
+_SSWU_XNUM, _SSWU_XDEN, _SSWU_YNUM, _SSWU_YDEN = 16, 24, 30, 38
+SSWU_CONST_COLS = 46
+
+
+def _sswu_kernel(dig_ref, *refs, n, tb, n0, variant, nws, nwi):
+    """Fused hash map stage: BOTH SSWU maps + 3-isogeny + their point sum
+    in ONE launch (the whole map_to_curve half of hash_to_g2).
+
+    Design (TPU-first, no counterpart in the reference's per-step hasher,
+    src/hasher.rs:352-502 — value-level semantics only):
+      * inversion-free fraction-form SSWU: x = xn/xd and y = yn/yd ride as
+        fractions; the sqrt exponentiation runs on W = gxn * gxd^15 with
+        the same Frobenius split as the jnp path (one 377-bit chain), and
+        candidate checks are cross-multiplied (X c^2 == R), so the per-map
+        Fp2 inversion of the jnp path disappears;
+      * the two maps (u0, u1) are lane-concatenated so the dominant sqrt
+        chain is emitted ONCE and runs at double width;
+      * the four denominators (xd, yd per map) are inverted by ONE batched
+        Fermat chain (Montgomery's trick on their Fp norms);
+      * affine x, y are then exact (identical to the jnp path: same
+        canonical values after the sgn0 fix), and the isogeny + complete
+        point addition mirror iso3_map_jacobian / curve.pt_add term for
+        term, so the output Jacobian coordinates are bit-identical to the
+        unfused device path.
+
+    refs: u0 (2), u1 (2), p, one_col, const block (n, SSWU_CONST_COLS);
+    outputs: X (2), Y (2), Z (2) of iso(map(u0)) + iso(map(u1)).
+    dig_ref: (2, max(nws, nwi)) SMEM int32 — row 0 = sqrt-chain digits
+    (front-padded to nws), row 1 = the Fp inversion chain (p - 2, nwi)."""
+    ins, outs = refs[:4], refs[7:13]
+    p_limbs, mont = _make_mont(refs[4], n=n, tb=tb, n0=n0, variant=variant)
+    _, mont_w = _make_mont(refs[4], n=n, tb=2 * tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[5][:], (n, tb))
+    one_w = jnp.broadcast_to(refs[5][:], (n, 2 * tb))
+    cst = refs[6][:]
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    f2w = _F2Rows(p_limbs, mont_w, n, 2 * tb)
+    f1 = _F1Rows(p_limbs, mont, n, tb)
+    rows = _load_rows(ins)
+    u = (jnp.concatenate([rows[0], rows[2]], axis=1),
+         jnp.concatenate([rows[1], rows[3]], axis=1))
+
+    def c2(i, w):
+        return (jnp.broadcast_to(cst[:, i : i + 1], (n, w)),
+                jnp.broadcast_to(cst[:, i + 1 : i + 2], (n, w)))
+
+    wz = jnp.zeros((n, 2 * tb), jnp.uint32)
+    zero2_w = (wz, wz)
+    one2_w = (one_w, wz)
+    A = c2(_SSWU_A, 2 * tb)
+    B = c2(_SSWU_B, 2 * tb)
+    Z = c2(_SSWU_Z, 2 * tb)
+    ZA = c2(_SSWU_ZA, 2 * tb)
+    Z3 = c2(_SSWU_Z3, 2 * tb)  # noqa: F841 (kept for clarity; gx2 is direct)
+    CZ3 = c2(_SSWU_CZ3, 2 * tb)
+    SQI = c2(_SSWU_SQI, 2 * tb)
+    SQMI = c2(_SSWU_SQMI, 2 * tb)
+
+    # ---- fraction-form SSWU on the lane-concatenated double batch ----
+    tv1 = f2w.sqr(u)                      # u^2
+    tv3 = f2w.mul(Z, tv1)                 # Z u^2
+    tv5 = f2w.sqr(tv3)
+    t = f2w.add(tv5, tv3)
+    e1 = f2w.is_zero(t)
+    xn = f2w.neg(f2w.mul(B, f2w.add(t, one2_w)))   # -B (t + 1)
+    xn = f2w.cmov(e1, B, xn)                        # t == 0: x1 = B/(Z A)
+    xd = f2w.cmov(e1, ZA, f2w.mul(A, t))
+    xd2 = f2w.sqr(xd)
+    xd3 = f2w.mul(xd2, xd)
+
+    def gx_of(num):  # gx numerator over gxd = xd^3
+        n2 = f2w.sqr(num)
+        n3 = f2w.mul(n2, num)
+        return f2w.add(
+            f2w.add(n3, f2w.mul(A, f2w.mul(num, xd2))), f2w.mul(B, xd3)
+        )
+
+    gxn = gx_of(xn)
+    gxd = xd3
+    g2_ = f2w.sqr(gxd)
+    g4 = f2w.sqr(g2_)
+    g8 = f2w.sqr(g4)
+    W = f2w.mul(gxn, f2w.mul(f2w.mul(g8, g4), f2w.mul(g2_, gxd)))
+    # z1 = W^((q+7)/16), Frobenius-split: (conj(W) W^11)^K * W^8
+    w2 = f2w.sqr(W)
+    w4 = f2w.sqr(w2)
+    w8 = f2w.sqr(w4)
+    w11 = f2w.mul(w8, f2w.mul(w2, W))
+    bchain = f2w.mul(f2w.conj(W), w11)
+    bk = _pow_win_rows(f2w, bchain, dig_ref, 0, nws, one2_w)
+    z1 = f2w.mul(bk, w8)
+    # y denominator (shared by both gx branches): gxd^(q+7) == gxd^8,
+    # since x^q = x for x in Fp2
+    yd = g8
+    yd2 = f2w.sqr(yd)
+    X1 = f2w.mul(f2w.sqr(z1), gxd)
+    R1 = f2w.mul(gxn, yd2)
+    yn1, found1 = _cand_select_rows(f2w, z1, X1, R1, SQI, SQMI, gxn, zero2_w)
+    # branch 2: x2 = tv3 x1; gx2 evaluated directly (exact for all u);
+    # z2 reuses the branch-1 exponentiation (z1 Cz3 u^3 — the error factor
+    # is a 4th root of unity absorbed by the candidate set)
+    x2n = f2w.mul(tv3, xn)
+    gx2n = gx_of(x2n)
+    u3 = f2w.mul(tv1, u)
+    z2 = f2w.mul(f2w.mul(z1, CZ3), u3)
+    X2 = f2w.mul(f2w.sqr(z2), gxd)
+    R2 = f2w.mul(gx2n, yd2)
+    yn2, _ = _cand_select_rows(f2w, z2, X2, R2, SQI, SQMI, gx2n, zero2_w)
+    xn_f = f2w.cmov(found1, xn, x2n)
+    yn_f = f2w.cmov(found1, yn1, yn2)
+
+    # ---- split the two maps; ONE batched inversion for 4 denominators ----
+    def half2(e, h):
+        sl = slice(0, tb) if h == 0 else slice(tb, 2 * tb)
+        return (e[0][:, sl], e[1][:, sl])
+
+    xd_h = [half2(xd, h) for h in (0, 1)]
+    yd_h = [half2(yd, h) for h in (0, 1)]
+
+    def norm(e):  # Fp norm c0^2 + c1^2 (nonzero: xd, yd proven != 0)
+        return f1.add(f1.sqr(e[0]), f1.sqr(e[1]))
+
+    ns = [norm(xd_h[0]), norm(yd_h[0]), norm(xd_h[1]), norm(yd_h[1])]
+    pre1 = f1.mul(ns[0], ns[1])
+    pre2 = f1.mul(pre1, ns[2])
+    pre3 = f1.mul(pre2, ns[3])
+    tinv = _pow_win_rows(f1, pre3, dig_ref, 1, nwi, one_rows)  # Fermat
+    inv4 = f1.mul(tinv, pre2)
+    tinv = f1.mul(tinv, ns[3])
+    inv3 = f1.mul(tinv, pre1)
+    tinv = f1.mul(tinv, ns[2])
+    inv2 = f1.mul(tinv, ns[0])
+    inv1 = f1.mul(tinv, ns[1])
+    invs = [inv1, inv2, inv3, inv4]
+
+    # ---- per map: affine, sgn0 fix, isogeny, Jacobian packing ----
+    one_raw = jnp.concatenate(
+        [jnp.full((1, tb), 1, jnp.uint32),
+         jnp.zeros((n - 1, tb), jnp.uint32)],
+        axis=0,
+    )
+    XNUM = [c2(_SSWU_XNUM + 2 * i, tb) for i in range(4)]
+    XDEN = [c2(_SSWU_XDEN + 2 * i, tb) for i in range(3)]
+    YNUM = [c2(_SSWU_YNUM + 2 * i, tb) for i in range(4)]
+    YDEN = [c2(_SSWU_YDEN + 2 * i, tb) for i in range(4)]
+    pts = []
+    for h in (0, 1):
+        xnh = half2(xn_f, h)
+        ynh = half2(yn_f, h)
+        uh = half2(u, h)
+        ixd = f2.muls(f2.conj(xd_h[h]), invs[2 * h])
+        iyd = f2.muls(f2.conj(yd_h[h]), invs[2 * h + 1])
+        x_aff = f2.mul(xnh, ixd)
+        y_aff = f2.mul(ynh, iyd)
+        flip = _sgn0_rows(f1, uh, one_raw) != _sgn0_rows(f1, y_aff, one_raw)
+        y_aff = f2.cmov(flip, f2.neg(y_aff), y_aff)
+        xn_p = _horner_rows(f2, XNUM, x_aff)
+        xd_p = _horner_rows(f2, XDEN, x_aff)
+        yn_p = _horner_rows(f2, YNUM, x_aff)
+        yd_p = _horner_rows(f2, YDEN, x_aff)
+        zP = f2.mul(xd_p, yd_p)
+        XP = f2.mul(f2.mul(xn_p, yd_p), zP)
+        YP = f2.mul(f2.mul(yn_p, f2.mul(y_aff, xd_p)), f2.sqr(zP))
+        pts.append((XP, YP, zP))
+    zr = jnp.zeros((n, tb), jnp.uint32)
+    inf = ((one_rows, zr), (one_rows, zr), (zr, zr))
+    out = _pt_add_body(f2, pts[0], pts[1], inf)
+    _store_rows(outs, _elems_to_rows(out, "fp2"))
+
+
+def _ladder_rows(F, seg_ref, seg_row0, nseg, base, inf, coord):
+    """In-kernel seg-run scalar-mul ladder (the _ptmulconst_kernel body as
+    a reusable helper): acc starts at the base point (top set bit), each
+    MSB-first segment does len doublings + one cmov'd complete addition.
+    seg_ref rows [seg_row0] = lens, [seg_row0 + 1] = flags."""
+    def seg_body(s, flat):
+        def dbl(_, fl):
+            o = _pt_dbl_body(F, *_rows_to_elems(F, list(fl), coord))
+            return tuple(_elems_to_rows(o, coord))
+
+        flat = jax.lax.fori_loop(0, seg_ref[seg_row0, s], dbl, flat)
+        acc = _rows_to_elems(F, list(flat), coord)
+        added = _pt_add_body(F, tuple(acc), tuple(base), inf)
+        do_add = seg_ref[seg_row0 + 1, s] > 0
+        return tuple(
+            jnp.where(do_add, a, b)
+            for a, b in zip(_elems_to_rows(added, coord), flat)
+        )
+
+    flat = jax.lax.fori_loop(
+        0, nseg, seg_body, tuple(_elems_to_rows(base, coord))
+    )
+    return _rows_to_elems(F, list(flat), coord)
+
+
+# cofactor-kernel constant-block columns: psi twist constants
+_COF_PSIX, _COF_PSIY, _COF_PSI2X = 0, 2, 4
+COF_CONST_COLS = 5
+
+
+def _g2cofactor_kernel(seg_ref, *refs, n, tb, n0, variant, nseg):
+    """Fused Budroni-Pintore G2 cofactor clearing in ONE launch (the whole
+    curve.g2_clear_cofactor chain: [x^2-x-1]P + [x-1]psi(P) + psi2(2P)):
+    two |x|-ladders (seg structure in SMEM), six complete additions, one
+    doubling and both psi endomorphisms.
+
+    refs: P (6), p, one_col, const block (n, COF_CONST_COLS);
+    outputs: cleared P (6).  seg_ref: (2, nseg) SMEM [lens; flags] of
+    ABS_X's MSB-first run structure (shared by both ladders)."""
+    ins, outs = refs[:6], refs[9:15]
+    p_limbs, mont = _make_mont(refs[6], n=n, tb=tb, n0=n0, variant=variant)
+    one_rows = jnp.broadcast_to(refs[7][:], (n, tb))
+    cst = refs[8][:]
+    f2 = _F2Rows(p_limbs, mont, n, tb)
+    zr = jnp.zeros((n, tb), jnp.uint32)
+    inf = ((one_rows, zr), (one_rows, zr), (zr, zr))
+
+    def c2(i):
+        return (jnp.broadcast_to(cst[:, i : i + 1], (n, tb)),
+                jnp.broadcast_to(cst[:, i + 1 : i + 2], (n, tb)))
+
+    cx = c2(_COF_PSIX)
+    cy = c2(_COF_PSIY)
+    psi2x = jnp.broadcast_to(cst[:, _COF_PSI2X : _COF_PSI2X + 1], (n, tb))
+    P = _rows_to_elems(f2, _load_rows(ins), "fp2")
+
+    def neg_pt(p):
+        return (p[0], f2.neg(p[1]), p[2])
+
+    def add(p, q):
+        return _pt_add_body(f2, tuple(p), tuple(q), inf)
+
+    def psi(p):
+        return (f2.mul(f2.conj(p[0]), cx), f2.mul(f2.conj(p[1]), cy),
+                f2.conj(p[2]))
+
+    def psi2(p):
+        return (f2.muls(p[0], psi2x), f2.neg(p[1]), p[2])
+
+    xp = neg_pt(_ladder_rows(f2, seg_ref, 0, nseg, tuple(P), inf, "fp2"))
+    xxp = neg_pt(_ladder_rows(f2, seg_ref, 0, nseg, tuple(xp), inf, "fp2"))
+    t = add(add(xxp, neg_pt(xp)), neg_pt(P))        # [x^2 - x - 1] P
+    t2 = psi(add(xp, neg_pt(P)))                    # psi([x - 1] P)
+    t3 = psi2(_pt_dbl_body(f2, *P))                 # psi2(2P)
+    out = add(add(t, t2), t3)
+    _store_rows(outs, _elems_to_rows(out, "fp2"))
+
+
 def _ptmulvar_kernel(nb_ref, *refs, n, tb, n0, variant, coord):
     """Fused variable-scalar point multiplication — the whole MSB-first
     double-and-cmov-add ladder in ONE launch.  The per-element scalars
@@ -1286,10 +1624,13 @@ class FieldKernels:
             lead_vals.append(jnp.asarray(arr))
         const_specs, const_vals = self._mont_inputs()
         for col in extra_consts or []:
+            arr = np.asarray(col)
             const_specs.append(
-                pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
             )
-            const_vals.append(jnp.asarray(col, jnp.uint32))
+            const_vals.append(jnp.asarray(arr, jnp.uint32))
         outs = pl.pallas_call(
             functools.partial(
                 kernel_fn, n=n, tb=tile, n0=self.n0, variant=self.variant,
@@ -1500,6 +1841,57 @@ class FieldKernels:
             _ptmulvar_kernel, list(coords) + [s], 3 * nc,
             extra={"coord": coord}, extra_consts=[self.one_col],
             count_scalar=nbits,
+        )
+
+    def sswu_map2(self, coords, const_block, sqrt_digits, inv_digits):
+        """Fused map_to_curve for BOTH hash field elements: SSWU (fraction
+        form, shared Frobenius-split sqrt chain at double lane width) +
+        3-isogeny + the q0 + q1 complete addition, ONE launch.
+
+        coords: u0 (2 tensors) + u1 (2); const_block: the (n,
+        SSWU_CONST_COLS) column table from ops/hash_to_g2.py; digit lists
+        are MSB-first 4-bit (sqrt chain and p-2 Fermat chain).  Returns
+        X (2), Y (2), Z (2) of the summed Jacobian point."""
+        nws = -(-len(sqrt_digits) // 8) * 8
+        nwi = -(-len(inv_digits) // 8) * 8
+        width = max(nws, nwi)
+
+        def pad(d, w):
+            return [0] * (w - len(d)) + list(d)
+
+        digs = np.array([pad(sqrt_digits, width), pad(inv_digits, width)],
+                        np.int32)
+        shape = jnp.broadcast_shapes(*[x.shape for x in coords])
+        # per output element: 2 maps x (sqrt chain + table + straight-line
+        # fraction SSWU + iso + affine) + one shared Fermat chain + pt_add
+        self._rec(2 * (11 * nws + 42 + 160) + (5 * nwi + 14) + 36 + 58,
+                  2 * (5 * nws + 300) + (60) + 110, shape)
+        return self._tower_call(
+            _sswu_kernel, list(coords), 6,
+            extra={"nws": nws, "nwi": nwi},
+            extra_consts=[self.one_col, const_block],
+            count_scalar=digs, max_tile=512,
+        )
+
+    def g2_cofactor(self, coords, const_block, segs):
+        """Fused Budroni-Pintore cofactor clearing (curve.g2_clear_cofactor
+        whole chain), ONE launch.  coords: P's 6 limb tensors; const_block:
+        (n, COF_CONST_COLS) psi constants; segs: ABS_X's static MSB-first
+        [(run_len, ends_on_set_bit), ...]."""
+        nseg = len(segs)
+        ndbl = sum(s[0] for s in segs)
+        self._rec(2 * (17 * ndbl + 58 * nseg) + 58 * 6 + 17 + 8,
+                  2 * (40 * ndbl + 110 * nseg) + 110 * 6 + 40 + 10,
+                  jnp.broadcast_shapes(*[x.shape for x in coords]))
+        arr = np.array(
+            [[s[0] for s in segs], [1 if s[1] else 0 for s in segs]],
+            np.int32,
+        )
+        return self._tower_call(
+            _g2cofactor_kernel, list(coords), 6,
+            extra={"nseg": nseg},
+            extra_consts=[self.one_col, const_block],
+            count_scalar=arr, max_tile=512,
         )
 
     def cyclo_sqr(self, z_coords, count=1):

@@ -53,6 +53,15 @@ class Config:
     # fused 4-bit pow-window step kernels (4 squarings + table multiply in
     # one launch) for the SSWU sqrt chains and Fermat inversions
     fuse_pow: bool = os.environ.get("BLS_TPU_FUSE_POW", "1") == "1"
+    # fused whole-map hash kernel (r5): both SSWU maps in fraction form +
+    # isogeny + point sum as ONE launch, with the two maps sharing one
+    # lane-concatenated Frobenius-split sqrt chain and one batched Fermat
+    # inversion — replaces ~70 small launches and two per-map Fp2
+    # inversions of the unfused hash stage
+    fuse_sswu: bool = os.environ.get("BLS_TPU_FUSE_SSWU", "1") == "1"
+    # fused Budroni-Pintore cofactor clearing: both |x|-ladders + psi maps
+    # + all additions as ONE launch (was ~15)
+    fuse_cofactor: bool = os.environ.get("BLS_TPU_FUSE_COFACTOR", "1") == "1"
     # two-accumulator merged CIOS (kernels._conv_reduce_v3): aligned lo/hi
     # accumulation removes the per-step zero-pad concats and the padded
     # 32-row window of the original loop-form CIOS.  Default ON since

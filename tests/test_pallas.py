@@ -664,3 +664,78 @@ def test_fused_chain_smoke_default_tier():
         zi = pow(got_z[k], -1, C.P)
         assert (got_x[k] * zi * zi % C.P,
                 got_y[k] * zi * zi * zi % C.P) == want
+
+
+@pytest.mark.heavy
+def test_sswu_map2_kernel_interpret():
+    """Fused whole-map hash kernel (both SSWU maps + isogeny + point sum)
+    vs the jnp device path, LIMB-EXACT: the kernel mirrors the unfused
+    formulas (fraction-form SSWU resolves to the same canonical affine
+    x, y after the sgn0 fix, and the isogeny/addition packing is
+    identical), so the output Jacobian coordinates must match bit for bit."""
+    from bls_verify_gadget_tpu.ops import hash_to_g2 as H
+    from bls_verify_gadget_tpu.ops import curve as CV
+    from bls_verify_gadget_tpu.golden import field as GF
+
+    B = 4
+    us = []
+    for k in range(2):
+        us.append([(rng.randrange(C.P), rng.randrange(C.P)) for _ in range(B)])
+    # include the u = 0 edge and a u whose gx1 is non-square on map0
+    us[0][0] = (0, 0)
+    u0 = (jnp.asarray(FP.encode([u[0] for u in us[0]])),
+          jnp.asarray(FP.encode([u[1] for u in us[0]])))
+    u1 = (jnp.asarray(FP.encode([u[0] for u in us[1]])),
+          jnp.asarray(FP.encode([u[1] for u in us[1]])))
+
+    # jnp reference path (identical semantics contract)
+    q0 = H.map_to_curve_g2(u0)
+    q1 = H.map_to_curve_g2(u1)
+    want = CV.pt_add(CV.FP2_OPS, q0, q1)
+
+    with pltpu.force_tpu_interpret_mode():
+        o = FP.kernels.sswu_map2(
+            [u0[0], u0[1], u1[0], u1[1]],
+            H._sswu_const_block(), list(H.SQRT_DIGITS), list(H.INV_DIGITS),
+        )
+    got = [np.asarray(x) for x in o]
+    wantl = []
+    for comp in want:
+        wantl.append(np.asarray(comp[0]))
+        wantl.append(np.asarray(comp[1]))
+    for i, (g, w) in enumerate(zip(got, wantl)):
+        assert np.array_equal(g, w), f"coord {i} mismatch"
+
+    # cross-check against golden affine too (independent oracle)
+    from bls_verify_gadget_tpu.golden import curve as gcv
+    from bls_verify_gadget_tpu.golden import hash_to_curve as gh
+
+    dec = CV.g2_decode(((o[0], o[1]), (o[2], o[3]), (o[4], o[5])))
+    for k in range(B):
+        w0 = gh.map_to_curve_g2(us[0][k])
+        w1 = gh.map_to_curve_g2(us[1][k])
+        assert dec[k] == gcv.g2_add(w0, w1)
+
+
+@pytest.mark.heavy
+def test_g2_cofactor_kernel_interpret():
+    """Fused Budroni-Pintore cofactor kernel vs golden affine (the jnp CPU
+    path uses a different ladder structure, so the Jacobian representative
+    differs; the cleared POINT must agree)."""
+    from bls_verify_gadget_tpu.ops import curve as CV
+    from bls_verify_gadget_tpu.golden import curve as gcv
+
+    B = 4
+    pts = [gcv.g2_mul(C.G2_GEN, rng.randrange(2, 2**100)) for _ in range(B)]
+    # feed NON-subgroup points: random E2 points from hashing-like x search
+    # are expensive host-side; scalar multiples of the generator are in
+    # the subgroup already, which still exercises the full chain
+    enc = CV.g2_encode_batch(pts)
+    with pltpu.force_tpu_interpret_mode():
+        o = FP.kernels.g2_cofactor(
+            CV._fused_pt_coords(CV.FP2_OPS, [enc]),
+            CV._cof_const_block(), CV._absx_segs(),
+        )
+    dec = CV.g2_decode(CV._fused_pt_unflat(CV.FP2_OPS, o))
+    for k in range(B):
+        assert dec[k] == gcv.g2_clear_cofactor(pts[k])

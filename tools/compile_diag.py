@@ -9,7 +9,17 @@ per stage:
     the unique count is the Mosaic compile bill (VERDICT r3 weak #2: cold
     compile 1368s vs <600s target; CLAUDE.md backlog "kernel IR dedup").
 
+Budget contract (VERDICT r4 weak #4 / next-#10): --json-out writes the
+per-stage record to COMPILE_BUDGET.json; --check re-traces and FAILS
+(exit 1) if any stage's module size grew >30% or its unique-Mosaic-payload
+count grew by more than 4 over the committed budget — the cheap trace-time
+proxies for the cold-compile bill, so a fusion change that would re-blow
+the ~600 s driver envelope fails loudly BEFORE a driver window.  The
+on-hardware battery runs the check as its `compile_budget` case.
+
 Usage: python tools/compile_diag.py [--batch 4096] [--cpu]
+       python tools/compile_diag.py --json-out COMPILE_BUDGET.json  # record
+       python tools/compile_diag.py --check                         # assert
 """
 
 import argparse
@@ -45,23 +55,18 @@ def payload_stats(hlo_text):
     return total, uniq, names
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
-    args = ap.parse_args()
-
+def trace_record(batch):
     from __graft_entry__ import _example_batch, MSG_LEN
     from bls_verify_gadget_tpu.models.bls import BatchedBLS
 
     bls = BatchedBLS()
-    pk, sig, msg = _example_batch(args.batch)
+    pk, sig, msg = _example_batch(batch)
 
     hash_fn = jax.jit(lambda m: bls.hash_stage(m, MSG_LEN))
     miller_fn = jax.jit(bls.miller_stage)
     fexp_fn = jax.jit(bls.finalexp_stage)
 
     out = {}
-    lo_prev = None
     stages = []
     t0 = time.time()
     lo_h = hash_fn.lower(msg)
@@ -86,7 +91,65 @@ def main():
             "top_kernels": dict(names.most_common(12)),
         }
     out["all_stages_unique_payloads"] = len(all_uniq)
-    print(json.dumps(out, indent=1))
+    out["batch"] = batch
+    return out
+
+
+# budget tolerances: trace-time proxies for the cold Mosaic/XLA compile
+# bill.  Module bytes track XLA graph size; unique payloads track the
+# number of distinct Mosaic kernels to compile.
+BYTES_SLACK = 1.30
+PAYLOAD_SLACK = 4
+STAGES = ("hash", "miller", "final_exp")
+
+
+def check_budget(rec, budget):
+    """-> list of violation strings (empty = within budget)."""
+    bad = []
+    for s in STAGES:
+        cur, ref = rec[s], budget[s]
+        if cur["module_bytes"] > ref["module_bytes"] * BYTES_SLACK:
+            bad.append(
+                f"{s}: module_bytes {cur['module_bytes']} > "
+                f"{BYTES_SLACK}x budget {ref['module_bytes']}"
+            )
+        if cur["unique_payloads"] > ref["unique_payloads"] + PAYLOAD_SLACK:
+            bad.append(
+                f"{s}: unique_payloads {cur['unique_payloads']} > budget "
+                f"{ref['unique_payloads']} + {PAYLOAD_SLACK}"
+            )
+    return bad
+
+
+def budget_path():
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "COMPILE_BUDGET.json",
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--json-out", type=str, default="",
+                    help="write the record (the committed budget)")
+    ap.add_argument("--check", action="store_true",
+                    help="compare against the committed COMPILE_BUDGET.json "
+                         "and exit 1 on violation")
+    args = ap.parse_args()
+
+    rec = trace_record(args.batch)
+    print(json.dumps(rec, indent=1))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
+    if args.check:
+        with open(budget_path()) as f:
+            budget = json.load(f)
+        bad = check_budget(rec, budget)
+        for b in bad:
+            print("BUDGET VIOLATION:", b, file=sys.stderr)
+        sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":

@@ -49,35 +49,41 @@ def main():
     bls = BatchedBLS()
     pk, sig, msg = _example_batch(args.batch)
 
-    # LOGICAL count: the jnp path with static ladder structure — the
-    # algorithmically-required arithmetic, no kernel padding.
-    with count_ops() as ctr_logical:
-        jax.eval_shape(lambda p, s, m: bls.verify(p, s, m, args.msg_len), pk, sig, msg)
-
     # EXECUTED count: the fused whole-chain kernels only engage under
     # _use_pallas(), and their op accounting (FieldKernels._rec) records
     # the arithmetic the kernels actually execute (including fixed pow
     # window padding and cmov'd segment multiplies).  eval_shape never
-    # lowers, so forcing the pallas path is safe on CPU.  Recording both
-    # keeps the sustained-Fp-mul/s metric honest about padding inflation.
+    # lowers, so forcing the pallas path is safe on CPU.
+    #
+    # A "logical" (padding-free) count CANNOT be derived from a jnp-path
+    # trace: lax.scan bodies are traced once regardless of length, so a
+    # trace-time counter under-counts every ladder/pow scan ~10-100x
+    # (measured: 6.5k "logical" muls vs a ~28k hand count).  Instead the
+    # record names the known executed-work inflation sources explicitly.
     ModField._use_pallas = lambda self: True
     with count_ops() as ctr:
         jax.eval_shape(lambda p, s, m: bls.verify(p, s, m, args.msg_len), pk, sig, msg)
 
     executed = round(ctr.fp_mul_equivalent() / args.batch, 1)
-    logical = round(ctr_logical.fp_mul_equivalent() / args.batch, 1)
     rec = {
-        # kept as the executed count for continuity with earlier rounds;
-        # bench.py's sustained-Fp-mul/s figure is executed work per second
+        # the executed count: bench.py's sustained-Fp-mul/s figure is
+        # executed work per second, including the paddings noted below
         "fpmul_per_verify": executed,
-        "fpmul_per_verify_executed": executed,
-        "fpmul_per_verify_logical": logical,
-        "padding_inflation": round(executed / logical, 3) if logical else None,
+        "count_semantics": "executed",
+        "padding_sources": [
+            "pow_win pads exponents to fixed window counts (96 Fp / 192 "
+            "Fp2 unless the caller overrides nwin); leading zero windows "
+            "execute 4 squarings + 1 table multiply each",
+            "seg-ladder additions execute unconditionally and are cmov'd "
+            "on the segment flag (one wasted complete-add per trailing "
+            "zero-run segment)",
+            "miller/exp run kernels execute both pair slots even when a "
+            "pair is masked invalid",
+        ],
         "batch": args.batch,
         "msg_len": args.msg_len,
         "ladders": "static",
         "counts": dict(ctr.counts),
-        "counts_logical": dict(ctr_logical.counts),
     }
     with open(args.json_out, "w") as f:
         json.dump(rec, f, indent=1)
