@@ -548,6 +548,21 @@ def _load_rows(refs):
     return [jnp.transpose(r[:], (1, 0)) for r in refs]
 
 
+def _mat_rows(x):
+    """Force a lane-materialized vector layout on a broadcast constant.
+
+    A (n, 1) -> (n, tb) broadcast_to keeps a lane-REPLICATED Mosaic layout,
+    and elementwise ops propagate it; when such a value later meets a
+    sublane concat/slice (Karatsuba's _propagate_rows, the CIOS sliding
+    window), ApplyVectorLayoutPass aborts the remote compile helper with
+    `Check failed: limits[i] <= dim(i)` (probed on v5e; bare mont with a
+    replicated SECOND operand is fine, f2.mul is not).  OR-ing with a
+    masked lane iota is numerically a no-op (iota < 2^31, mask 2^31) but
+    its lane-varying operand forces the laned layout."""
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
+    return x | (lane & jnp.uint32(0x80000000))
+
+
 def _store_rows(refs, rows):
     for r, x in zip(refs, rows):
         r[:] = jnp.transpose(x, (1, 0))
@@ -907,24 +922,49 @@ def _pow_win_rows(F, a, dig_ref, dig_row, nwin, one):
     width, including the lane-concatenated two-map SSWU chain)."""
     is_f2 = isinstance(a, tuple)
     flat = (lambda e: list(e)) if is_f2 else (lambda e: [e])
-    tab = [one, a]
-    for _ in range(14):
-        tab.append(F.mul(tab[-1], a))
+    n_r, w_l = flat(a)[0].shape
+    # The 14 table multiplies are ROLLED into a fori_loop over a stacked
+    # (16 n, w) table per component (Mosaic payload control: unrolled they
+    # inlined 14 mont-mul bodies per instance, the largest single
+    # contributor to the fused-SSWU kernel payload).  Pallas TPU has no
+    # dynamic_update_slice lowering, so the running power rides in the
+    # carry and lands in its row block via an iota-mask blend.
+    zero_pad = jnp.zeros((14 * n_r, w_l), jnp.uint32)
+    tabs = [
+        jnp.concatenate([oc, ac, zero_pad], axis=0)
+        for oc, ac in zip(flat(one), flat(a))
+    ]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (16 * n_r, w_l), 0)
+
+    def build(t, carry):
+        ncomp = len(tabs)
+        tbs, curc = carry[:ncomp], carry[ncomp:]
+        cur = F.mul((curc[0], curc[1]) if is_f2 else curc[0], a)
+        curf = flat(cur)
+        mask = (row_ids >= t * n_r) & (row_ids < (t + 1) * n_r)
+        tbs2 = [
+            jnp.where(mask, jnp.tile(cc, (16, 1)), tb_)
+            for tb_, cc in zip(tbs, curf)
+        ]
+        return tuple(tbs2) + tuple(curf)
+
+    tabs = list(
+        jax.lax.fori_loop(2, 16, build, tuple(tabs) + tuple(flat(a)))
+    )[: len(tabs)]
 
     def body(w, fl):
         f = (fl[0], fl[1]) if is_f2 else fl[0]
         for _ in range(4):
             f = F.sqr(f)
         d = dig_ref[dig_row, w]
-        sel = tab[0]
+        selc = [tb_[0:n_r] for tb_ in tabs]
         for t in range(1, 16):
             m = (d == t)
-            if is_f2:
-                sel = (jnp.where(m, tab[t][0], sel[0]),
-                       jnp.where(m, tab[t][1], sel[1]))
-            else:
-                sel = jnp.where(m, tab[t], sel)
-        f = F.mul(f, sel)
+            selc = [
+                jnp.where(m, tb_[t * n_r : (t + 1) * n_r], s)
+                for tb_, s in zip(tabs, selc)
+            ]
+        f = F.mul(f, (selc[0], selc[1]) if is_f2 else selc[0])
         return tuple(flat(f))
 
     out = jax.lax.fori_loop(0, nwin, body, tuple(flat(one)))
@@ -1019,8 +1059,8 @@ def _sswu_kernel(dig_ref, *refs, n, tb, n0, variant, nws, nwi):
          jnp.concatenate([rows[1], rows[3]], axis=1))
 
     def c2(i, w):
-        return (jnp.broadcast_to(cst[:, i : i + 1], (n, w)),
-                jnp.broadcast_to(cst[:, i + 1 : i + 2], (n, w)))
+        return (_mat_rows(jnp.broadcast_to(cst[:, i : i + 1], (n, w))),
+                _mat_rows(jnp.broadcast_to(cst[:, i + 1 : i + 2], (n, w))))
 
     wz = jnp.zeros((n, 2 * tb), jnp.uint32)
     zero2_w = (wz, wz)
@@ -1194,8 +1234,8 @@ def _g2cofactor_kernel(seg_ref, *refs, n, tb, n0, variant, nseg):
     inf = ((one_rows, zr), (one_rows, zr), (zr, zr))
 
     def c2(i):
-        return (jnp.broadcast_to(cst[:, i : i + 1], (n, tb)),
-                jnp.broadcast_to(cst[:, i + 1 : i + 2], (n, tb)))
+        return (_mat_rows(jnp.broadcast_to(cst[:, i : i + 1], (n, tb))),
+                _mat_rows(jnp.broadcast_to(cst[:, i + 1 : i + 2], (n, tb))))
 
     cx = c2(_COF_PSIX)
     cy = c2(_COF_PSIY)
@@ -1215,13 +1255,75 @@ def _g2cofactor_kernel(seg_ref, *refs, n, tb, n0, variant, nseg):
     def psi2(p):
         return (f2.muls(p[0], psi2x), f2.neg(p[1]), p[2])
 
-    xp = neg_pt(_ladder_rows(f2, seg_ref, 0, nseg, tuple(P), inf, "fp2"))
-    xxp = neg_pt(_ladder_rows(f2, seg_ref, 0, nseg, tuple(xp), inf, "fp2"))
-    t = add(add(xxp, neg_pt(xp)), neg_pt(P))        # [x^2 - x - 1] P
-    t2 = psi(add(xp, neg_pt(P)))                    # psi([x - 1] P)
-    t3 = psi2(_pt_dbl_body(f2, *P))                 # psi2(2P)
-    out = add(add(t, t2), t3)
-    _store_rows(outs, _elems_to_rows(out, "fp2"))
+    # Mosaic payload control: naively inlining the chain (2 ladder
+    # instances + 5 complete-add bodies + 1 doubling) produced a ~6.5 MB
+    # kernel payload that SIGABRTs the remote compile helper.  Both
+    # ladders share ONE inlined instance via a 2-iteration fori_loop, and
+    # all five additions share ONE inlined _pt_add_body via a 5-iteration
+    # routing loop — semantics are unchanged (complete formulas
+    # everywhere), only the inlining count drops.
+    def lad_body(i, carry):
+        cur = _rows_to_elems(f2, list(carry[:6]), "fp2")
+        res = neg_pt(
+            _ladder_rows(f2, seg_ref, 0, nseg, tuple(cur), inf, "fp2")
+        )
+        rrows = _elems_to_rows(res, "fp2")
+        first = i == 0
+        xp_rows = [
+            jnp.where(first, r, c) for r, c in zip(rrows, carry[6:])
+        ]
+        return tuple(rrows) + tuple(xp_rows)
+
+    prow = tuple(_elems_to_rows(P, "fp2"))
+    lad = jax.lax.fori_loop(0, 2, lad_body, prow + prow)
+    # x < 0 for BLS12-381, so [x]P = -ladder(P): lad[:6] = [x^2]P,
+    # lad[6:] = [x]P
+    xxp_rows, xp_rows = list(lad[:6]), list(lad[6:])
+    xp = _rows_to_elems(f2, xp_rows, "fp2")
+    negP_rows = _elems_to_rows(neg_pt(P), "fp2")
+    negxp_rows = _elems_to_rows(neg_pt(xp), "fp2")
+    t3_rows = _elems_to_rows(psi2(_pt_dbl_body(f2, *P)), "fp2")
+
+    # additions, one shared body.  acc starts at xxp; schedule:
+    #   i=0: aux = xp + (-P)            (psi applied when consumed)
+    #   i=1: acc = xxp + (-xp)
+    #   i=2: acc = acc + (-P)           -> [x^2 - x - 1] P
+    #   i=3: acc = acc + psi(aux)       -> + psi([x - 1] P)
+    #   i=4: acc = acc + psi2(2P)
+    def add_body(i, carry):
+        acc_rows = list(carry[:6])
+        aux = _rows_to_elems(f2, list(carry[6:]), "fp2")
+        pa_rows = _elems_to_rows(psi(aux), "fp2")
+        lhs_rows = [
+            jnp.where(i == 0, a, b) for a, b in zip(xp_rows, acc_rows)
+        ]
+        rhs_rows = [
+            jnp.where(
+                i == 3,
+                pa,
+                jnp.where(i == 4, t3, jnp.where(i == 1, nxp, npr)),
+            )
+            for pa, t3, nxp, npr in zip(
+                pa_rows, t3_rows, negxp_rows, negP_rows
+            )
+        ]
+        res = _pt_add_body(
+            f2,
+            tuple(_rows_to_elems(f2, lhs_rows, "fp2")),
+            tuple(_rows_to_elems(f2, rhs_rows, "fp2")),
+            inf,
+        )
+        rrows = _elems_to_rows(res, "fp2")
+        new_acc = [jnp.where(i == 0, a, r) for a, r in zip(acc_rows, rrows)]
+        new_aux = [
+            jnp.where(i == 0, r, c) for r, c in zip(rrows, carry[6:])
+        ]
+        return tuple(new_acc) + tuple(new_aux)
+
+    fin = jax.lax.fori_loop(
+        0, 5, add_body, tuple(xxp_rows) + tuple(xxp_rows)
+    )
+    _store_rows(outs, list(fin[:6]))
 
 
 def _ptmulvar_kernel(nb_ref, *refs, n, tb, n0, variant, coord):
@@ -1613,15 +1715,19 @@ class FieldKernels:
         vec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
         lead_specs, lead_vals = [], []
         if count_scalar is not None:
-            arr = np.atleast_1d(np.asarray(count_scalar, np.int32))
+            cnt = np.atleast_1d(np.asarray(count_scalar, np.int32))
             lead_specs.append(
                 pl.BlockSpec(
-                    arr.shape,
-                    lambda i: (0,) * arr.ndim,
+                    cnt.shape,
+                    # early-bind the rank: `arr` below rebinds in the
+                    # extra_consts loop and a late-binding closure here
+                    # returned the WRONG index arity on real hardware
+                    # (interpret mode does not check index-map arity)
+                    lambda i, nd=cnt.ndim: (0,) * nd,
                     memory_space=pltpu.SMEM,
                 )
             )
-            lead_vals.append(jnp.asarray(arr))
+            lead_vals.append(jnp.asarray(cnt))
         const_specs, const_vals = self._mont_inputs()
         for col in extra_consts or []:
             arr = np.asarray(col)
