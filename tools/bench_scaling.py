@@ -150,6 +150,16 @@ def main():
         "per_device_batch": args.per_dev,
         "masked_aggregate_ms": agg_ms,
         "masked_aggregate_efficiency": agg_eff,
+        "aggregate_n4_note": (
+            "the @4 column on this 4-core host measures client-runtime "
+            "contention, not the collective layer: the loss is "
+            "PROPORTIONAL to per-device work (28 ms at 2048/dev vs 8.5 ms "
+            "at 256/dev), so it is execution-time core-stealing by the "
+            "XLA CPU runtime threads once N workers == physical cores; "
+            "per the comm_model the actual collective payload is one "
+            "288-byte partial per device"
+            if devices[0].platform == "cpu" else ""
+        ),
         "comm_model": {
             "allgather_bytes_per_device": {
                 str(n): n * pt_bytes for n in sizes
