@@ -34,7 +34,12 @@ def test_golden_aggregate_verify_distinct():
     assert not gbls.aggregate_verify(pks, MSGS, SIGS[0])
 
 
+@pytest.mark.heavy
 def test_device_aggregate_verify_distinct():
+    """Heavy tier: this is its own monolithic pipeline compile (hash of N
+    + N+1-pair Miller + final exp), multi-minute on the CPU host — the
+    golden test above pins the semantics in the default tier (VERDICT r4
+    weak #3 retiering)."""
     bls = BatchedBLS()
     pks = encode_pubkeys([pk for _, pk in PAIRS])
     sig = encode_signatures([AGG])

@@ -67,7 +67,32 @@ def test_sswu_and_isogeny():
         assert got_aff[i] == gh.map_to_curve_g2(uw), i
 
 
-def test_full_hash_to_g2():
+def test_full_hash_to_g2(staged_fns):
+    """Full device hash-to-G2 vs golden at the session smoke shapes:
+    reuses the staged_fns hash executable (conftest) so the default tier
+    compiles the full hash pipeline exactly ONCE.  The short-message
+    (padding-edge) variant lives in the heavy tier below."""
+    _, hash_fn, _, _ = staged_fns
+    msgs32 = [bytes([i]) * 32 for i in range(4)]
+    mu = jnp.asarray(
+        np.stack(
+            [np.frombuffer(m, np.uint8).astype(np.uint32) for m in msgs32]
+        )
+    )
+    x, y, inf = hash_fn(mu)
+    assert not any(bool(b) for b in np.asarray(inf))
+    xs, ys = _fp2_rows(x), _fp2_rows(y)
+    for i, m in enumerate(msgs32):
+        assert (xs[i], ys[i]) == gh.hash_to_g2(m), i
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.heavy
+def test_full_hash_to_g2_short_msgs():
+    """Short (3-byte) messages: exercises the xmd padding edge through the
+    whole pipeline (the default tier covers it stage-by-stage above)."""
     pt = jax.jit(lambda m: H.hash_to_g2(m, L))(MU)
     got = CV.g2_decode(pt)
     for i, m in enumerate(MSGS):

@@ -16,16 +16,13 @@ import numpy as np
 
 from bls_verify_gadget_tpu.golden import bls as gbls
 from bls_verify_gadget_tpu.models.bls import (
-    BatchedBLS,
     encode_messages,
     encode_pubkeys,
     encode_signatures,
 )
 
-MSG_LEN = 32
 
-
-def test_staged_verify_smoke():
+def test_staged_verify_smoke(staged_fns):
     vec_dir = pathlib.Path(__file__).parent / "vectors" / "verify"
     case = json.loads(
         (vec_dir / "verify_valid_case_195246ee3bd3b6ec.json").read_text()
@@ -44,10 +41,8 @@ def test_staged_verify_smoke():
     sig_b = encode_signatures([sig] * 4)
     msg_b = encode_messages([msg, tampered, msg, msg])
 
-    bls = BatchedBLS()
-    hash_fn = jax.jit(lambda m: bls.hash_stage(m, MSG_LEN))
-    miller_fn = jax.jit(bls.miller_stage)
-    fexp_fn = jax.jit(bls.finalexp_stage)
+    # session-shared compiled stages (tests/conftest.py staged_fns)
+    bls, hash_fn, miller_fn, fexp_fn = staged_fns
 
     # (bls.verify is finalexp_stage(miller_stage(.., hash_stage(..))) by
     # construction — models/bls.py — so the staged drive covers the

@@ -23,7 +23,10 @@ import jax
 
 # force CPU before ANY backend probe (sitecustomize pins JAX_PLATFORMS=axon)
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/bls_tpu_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("BLS_TPU_CACHE_DIR", "/tmp/bls_tpu_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -95,7 +98,22 @@ def main():
     bitmap = D.process_local_to_global(mesh, P(batch_axis), local_bits)
     del spec_pt
 
-    total, count = sharded_masked_aggregate(mesh, pk_jac, bitmap)
+    # Serialize the XLA compile across the workers with an flock: both
+    # processes lower the SAME global SPMD program, so whoever compiles
+    # first seeds the persistent cache and the other hits it (~1 s)
+    # instead of duplicating a multi-minute CPU compile on shared cores.
+    # Execution stays collective: both processes launch the compiled
+    # program and rendezvous in the gloo all-gather as before.
+    import fcntl
+
+    fn = jax.jit(lambda d, b: sharded_masked_aggregate(mesh, d, b))
+    with open("/tmp/bls_dcn_compile.lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            compiled = fn.lower(pk_jac, bitmap).compile()
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+    total, count = compiled(pk_jac, bitmap)
 
     want = None
     for p, b in zip(pts, bits):
